@@ -1,0 +1,133 @@
+"""Bicubic resize as XLA array programs, cv2.resize(INTER_CUBIC) parity.
+
+The reference leans on cv2.resize bicubic in two places: per-tile upsampling
+fallbacks and the QA multiscale downsample comparison (reference:
+quality_assessment_module.py:226-253 `downsample_bicubic`). The on-device SR
+models also use bicubic as their base interpolation (residual-learning
+head start), so this op is on the hot path.
+
+Two implementations:
+- :func:`resize_bicubic_up` — integer-factor upscale via polyphase shifted
+  slices: ``scale`` phases x 4 taps of statically-shifted slices with
+  constant weights, interleaved. Pure VPU adds, no gather; fuses under jit.
+- :func:`resize_bicubic` — arbitrary target size via per-axis 4-tap gather
+  (jnp.take); used by QA where exact cv2 parity at rational scales matters.
+
+Kernel: Keys cubic with a = -0.75 (cv2's choice), source coordinate mapping
+``src = (dst + 0.5) / scale - 0.5``, replicate-clamped borders — all
+matching cv2.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["cubic_weights", "resize_bicubic", "resize_bicubic_up"]
+
+_A = -0.75  # cv2's bicubic coefficient
+
+
+def cubic_weights(f: np.ndarray) -> np.ndarray:
+    """4 Keys-cubic taps (a=-0.75) for fractional offsets ``f`` in [0,1).
+
+    Returns (..., 4) weights for source samples at floor-1, floor, floor+1,
+    floor+2 — identical to OpenCV's interpolateCubic table generator.
+    """
+    f = np.asarray(f, dtype=np.float64)
+    a = _A
+    w0 = ((a * (f + 1) - 5 * a) * (f + 1) + 8 * a) * (f + 1) - 4 * a
+    w1 = ((a + 2) * f - (a + 3)) * f * f + 1
+    w2 = ((a + 2) * (1 - f) - (a + 3)) * (1 - f) * (1 - f) + 1
+    w3 = 1.0 - w0 - w1 - w2  # cv2 normalizes the last tap
+    return np.stack([w0, w1, w2, w3], axis=-1).astype(np.float32)
+
+
+@lru_cache(maxsize=64)
+def _axis_plan(src_n: int, dst_n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(idx (dst_n, 4) int32 clamped, w (dst_n, 4) f32) for one axis."""
+    scale = src_n / dst_n
+    dst = np.arange(dst_n, dtype=np.float64)
+    src = (dst + 0.5) * scale - 0.5
+    base = np.floor(src).astype(np.int64)
+    f = src - base
+    w = cubic_weights(f)
+    idx = base[:, None] + np.arange(-1, 3)[None, :]
+    idx = np.clip(idx, 0, src_n - 1).astype(np.int32)
+    return idx, w.astype(np.float32)
+
+
+def _resize_axis(x: jax.Array, axis: int, dst_n: int) -> jax.Array:
+    src_n = x.shape[axis]
+    if src_n == dst_n:
+        return x
+    idx, w = _axis_plan(src_n, dst_n)
+    taps = jnp.take(x, jnp.asarray(idx.reshape(-1)), axis=axis)
+    new_shape = list(x.shape)
+    new_shape[axis : axis + 1] = [dst_n, 4]
+    taps = taps.reshape(new_shape)
+    wshape = [1] * len(new_shape)
+    wshape[axis], wshape[axis + 1] = dst_n, 4
+    return jnp.sum(taps * jnp.asarray(w).reshape(wshape), axis=axis + 1)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bicubic(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Resize (..., H, W, C) to (..., out_h, out_w, C), cv2 INTER_CUBIC parity."""
+    ah, aw = x.ndim - 3, x.ndim - 2
+    return _resize_axis(_resize_axis(x, ah, out_h), aw, out_w)
+
+
+@lru_cache(maxsize=16)
+def _up_phases(scale: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-phase (offset (scale,) int, weights (scale, 4) f32) for upscale."""
+    p = np.arange(scale, dtype=np.float64)
+    src = (p + 0.5) / scale - 0.5
+    base = np.floor(src).astype(np.int64)  # -1 or 0
+    f = src - base
+    return base.astype(np.int32), cubic_weights(f)
+
+
+def _up_axis(x: jax.Array, axis: int, scale: int) -> jax.Array:
+    n = x.shape[axis]
+    base, w = _up_phases(scale)
+    # Replicate-pad by 2 each side so every tap index base+k+{-1..2} is valid.
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (2, 2)
+    xp = jnp.pad(x, pads, mode="edge")
+
+    def tap_slice(off: int) -> jax.Array:
+        starts = [0] * x.ndim
+        limits = list(xp.shape)
+        starts[axis] = 2 + off
+        limits[axis] = 2 + off + n
+        return jax.lax.slice(xp, starts, limits)
+
+    phases = []
+    for p in range(scale):
+        acc = None
+        for t in range(4):
+            s = tap_slice(int(base[p]) + t - 1)
+            term = s * np.float32(w[p, t])
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    inter = jnp.stack(phases, axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = n * scale
+    return inter.reshape(new_shape)
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def resize_bicubic_up(x: jax.Array, scale: int) -> jax.Array:
+    """Integer-factor bicubic upscale of (..., H, W, C) via polyphase slices.
+
+    Matches :func:`resize_bicubic` (and cv2) exactly for integer factors.
+    """
+    if scale == 1:
+        return x
+    ah, aw = x.ndim - 3, x.ndim - 2
+    return _up_axis(_up_axis(x, ah, scale), aw, scale)
