@@ -82,7 +82,7 @@ def extract_tiles(
     return _extract(padded, positions, layout.block)
 
 
-@partial(jax.jit, static_argnames=("padded_h", "padded_w", "eps"))
+@partial(jax.jit, static_argnames=("padded_h", "padded_w", "eps", "premultiplied"))
 def _merge(
     tiles: jax.Array,
     weights: jax.Array,
@@ -90,6 +90,7 @@ def _merge(
     padded_h: int,
     padded_w: int,
     eps: float = 1e-8,
+    premultiplied: bool = False,
 ) -> jax.Array:
     n, b, _, c = tiles.shape
     canvas = jnp.zeros((padded_h, padded_w, c), jnp.float32)
@@ -99,9 +100,10 @@ def _merge(
         canvas, wsum = carry
         tile, w, pos = inp
         w3 = w[..., None]
+        contrib = tile.astype(jnp.float32) if premultiplied else tile.astype(jnp.float32) * w3
         patch = jax.lax.dynamic_slice(canvas, (pos[0], pos[1], 0), (b, b, c))
         canvas = jax.lax.dynamic_update_slice(
-            canvas, patch + tile.astype(jnp.float32) * w3, (pos[0], pos[1], 0)
+            canvas, patch + contrib, (pos[0], pos[1], 0)
         )
         wpatch = jax.lax.dynamic_slice(wsum, (pos[0], pos[1], 0), (b, b, 1))
         wsum = jax.lax.dynamic_update_slice(wsum, wpatch + w3, (pos[0], pos[1], 0))
@@ -116,14 +118,21 @@ def merge_tiles(
     weights: jax.Array | np.ndarray,
     layout: TileLayout,
     positions: jax.Array | None = None,
+    premultiplied: bool = False,
 ) -> jax.Array:
     """Weighted-accumulate merge into a normalized float32 canvas.
 
     Math parity with reference tiling_module.py:1074-1135 (`merge_tiles`):
-    ``sum(tile*w) / max(sum(w), eps)`` over the padded canvas. Call
-    :func:`unpad_image` afterwards to crop to the true image.
+    ``sum(tile*w) / max(sum(w), eps)`` over the padded canvas. With
+    ``premultiplied=True`` the tiles are assumed already weighted (the
+    Laplacian-fusion path, where weighting happens per pyramid level) and
+    only the denominator uses ``weights``. Call :func:`unpad_image`
+    afterwards to crop to the true image.
     """
     if positions is None:
         positions = jnp.asarray(layout.positions)
     weights = jnp.asarray(weights)
-    return _merge(tiles, weights, positions, layout.padded_h, layout.padded_w)
+    return _merge(
+        tiles, weights, positions, layout.padded_h, layout.padded_w,
+        premultiplied=premultiplied,
+    )

@@ -111,17 +111,25 @@ def compute_layout(
     image_h: int,
     block_size: int,
     overlap_ratio: float = 0.2,
+    step_multiple: int = 1,
 ) -> TileLayout:
     """Compute the static full-block tile layout for an image.
 
-    Small images (either dimension <= block) degenerate to a single tile
-    whose block equals the padded image extent rounded up to an 8-px multiple
-    (TPU sublane alignment).
+    ``step_multiple`` rounds the step down to a multiple (increasing the
+    overlap slightly): with step divisible by 2^(L-1), every tile's dyadic
+    pyramid grid aligns with the canvas pyramid grid, which makes the
+    canvas-pyramid Laplacian blend exact (SURVEY §7 hard part #3 — pyramid
+    support vs halo alignment). Use 32 for 6-level blending.
+
+    Small images (either dimension <= block) degenerate to a single tile.
     """
     overlap = _overlap_pixels(block_size, overlap_ratio)
     step = block_size - overlap
     if step <= 0:
         raise ValueError(f"overlap {overlap} >= block {block_size}")
+    if step_multiple > 1 and step > step_multiple:
+        step = (step // step_multiple) * step_multiple
+        overlap = block_size - step
     nx, ny = _grid_counts(image_w, image_h, block_size, overlap)
     padded_w = (nx - 1) * step + block_size
     padded_h = (ny - 1) * step + block_size
