@@ -1,0 +1,99 @@
+"""Model registry: named SR model variants and their parameters.
+
+The reference's "providers" are remote services chosen by name
+(super_resolution_module.py:44-49, 1031-1082); here they are registry
+entries mapping to flax model constructors. Parameters are deterministic
+zero-residual inits (exact bicubic behavior) unless a trained checkpoint
+exists under ``ModelConfig.checkpoint_dir`` — checked via orbax at first
+build.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .nets import EDSR, ESPCN
+
+__all__ = ["ModelSpec", "MODEL_REGISTRY", "build_model", "clear_param_cache"]
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    ctor: Callable[..., Any]
+    kwargs: Dict[str, Any] = field(default_factory=dict)
+    description: str = ""
+
+
+MODEL_REGISTRY: Dict[str, ModelSpec] = {
+    "espcn": ModelSpec(
+        "espcn", ESPCN, {}, "fast sub-pixel CNN (veImageX-analog provider)"
+    ),
+    "espcn_polish": ModelSpec(
+        "espcn_polish", ESPCN, {"scale": 1}, "scale-1 polish pass (fast_sr 1.0x analog)"
+    ),
+    "edsr_m": ModelSpec(
+        "edsr_m", EDSR, {"num_blocks": 8}, "medium quality net (Seedream-analog provider)"
+    ),
+    "edsr_l": ModelSpec(
+        "edsr_l", EDSR, {"num_blocks": 16, "features": 96}, "large quality net"
+    ),
+}
+
+# (name, scale) -> (module, params)
+_CACHE: Dict[Tuple[str, int], Tuple[Any, Any]] = {}
+
+
+def clear_param_cache() -> None:
+    _CACHE.clear()
+
+
+def _try_load_checkpoint(name: str, scale: int, checkpoint_dir: Optional[str]):
+    if not checkpoint_dir:
+        return None
+    path = os.path.join(os.path.expanduser(checkpoint_dir), f"{name}_x{scale}")
+    if not os.path.isdir(path):
+        return None
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path))
+    except Exception:
+        return None
+
+
+def build_model(
+    name: str,
+    scale: int = 2,
+    checkpoint_dir: Optional[str] = None,
+    dtype: Any = jnp.bfloat16,
+) -> Tuple[Any, Any]:
+    """(flax module, params) for a registry entry at a given scale.
+
+    Params come from, in order: in-process cache, an orbax checkpoint under
+    ``checkpoint_dir``, or deterministic init (PRNGKey(0), zero residual =
+    exact bicubic).
+    """
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model {name!r}; registered: {sorted(MODEL_REGISTRY)}")
+    spec = MODEL_REGISTRY[name]
+    kwargs = dict(spec.kwargs)
+    if "scale" not in kwargs:
+        kwargs["scale"] = scale
+    kwargs["dtype"] = dtype
+    key = (name, kwargs["scale"])
+    if key in _CACHE:
+        return _CACHE[key]
+    module = spec.ctor(**kwargs)
+    params = _try_load_checkpoint(name, kwargs["scale"], checkpoint_dir)
+    if params is None:
+        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        params = module.init(jax.random.PRNGKey(0), dummy)
+    _CACHE[key] = (module, params)
+    return module, params

@@ -1,0 +1,396 @@
+"""SuperResolutionModule — public SR engine surface.
+
+API-parity port of the reference's `SuperResolutionModule` (reference:
+super_resolution_module.py:225-1082): same enums (`UpscaleProvider`,
+`VeImageXTemplate`), dataclasses (`UpscaleConfig`,
+`SuperResolutionResult`), method names (`upscale_seedream`,
+`upscale_veimagex`, `hybrid_upscale`, `upscale`, `retry_with_backoff`,
+`_deterministic_seed`) and retry/fallback semantics — with the remote HTTP
+engines replaced by on-device flax networks:
+
+- ``seedream``  -> quality net (EDSR) + iterative back-projection, where
+  ``num_inference_steps`` drives the refinement loop;
+- ``veimagex``  -> fast net (ESPCN); template FAST_SR at 1.0x is the
+  scale-1 polish variant;
+- ``hybrid``    -> the reference's 3-stage ladder (fast 2x prefilter ->
+  quality main with fast fallback -> polish), reference sr:842-1009,
+  including `processing_history` metadata.
+
+The HMAC request signing (sr:316-463), base64 transport (sr:465-488) and
+HTTP retry machinery exist only because the reference's compute was remote;
+they have no equivalent here. `retry_with_backoff` is kept (sync, same
+exponential 2^attempt capped at 8 s schedule) because the scheduler's
+failure ladder still consumes it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from PIL import Image
+except Exception:  # pragma: no cover
+    Image = None
+
+from ..config import ModelConfig
+from ..ops.resize import resize_bicubic, resize_bicubic_up
+from .nets import back_project
+from .prompts import PromptTemplateManager
+from .registry import build_model
+
+
+class UpscaleProvider(Enum):
+    """Provider registry (reference: sr:44-49). The remote names remain as
+    aliases of the on-device variants."""
+
+    SEEDREAM = "seedream"  # alias: quality
+    VEIMAGEX = "veimagex"  # alias: fast
+    HYBRID = "hybrid"
+    QUALITY = "quality"
+    FAST = "fast"
+    BICUBIC = "bicubic"
+
+
+class VeImageXTemplate(Enum):
+    """(reference: sr:51-56)."""
+
+    AI_SUPER_RESOLUTION = "system_workflow_ai_super_resolution"  # 2x
+    STANDARD_SR = "system_workflow_sr"  # 1.5-4x
+    FAST_SR = "system_workflow_fast_sr"  # polish
+
+
+@dataclass
+class UpscaleConfig:
+    """(reference: sr:58-77)."""
+
+    provider: UpscaleProvider = UpscaleProvider.SEEDREAM
+    target_scale: float = 2.0
+    strength: float = 0.5
+    num_inference_steps: int = 30
+    seed: Optional[int] = None
+    quality: int = 95
+    preserve_style: bool = True
+    category: str = "general"
+
+
+@dataclass
+class SuperResolutionResult:
+    """(reference: sr:80-99)."""
+
+    image: Any  # PIL.Image when PIL input, else np.ndarray
+    original_size: Tuple[int, int]  # (width, height)
+    upscaled_size: Tuple[int, int]
+    scale_factor: float
+    provider: str
+    processing_time: float
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+
+ImageLike = Union["Image.Image", np.ndarray, jax.Array]
+
+
+class SuperResolutionModule:
+    """On-device SR engine with provider dispatch and the hybrid ladder."""
+
+    MAX_RETRIES = 3
+    RETRY_BASE_DELAY = 1.0
+    RETRY_MAX_DELAY = 8.0
+
+    def __init__(
+        self,
+        access_key: str = "",
+        secret_key: str = "",
+        region: str = "",
+        config: Optional[ModelConfig] = None,
+    ):
+        # access_key/secret_key/region accepted for constructor parity with
+        # the reference (sr:226-243); on-device compute needs no credentials.
+        del access_key, secret_key, region
+        self.config = config or ModelConfig()
+        self._apply_fns: Dict[Tuple[str, int], Callable] = {}
+
+    # -- internals ---------------------------------------------------------
+    def _net(self, role: str, scale: int) -> Callable[[jax.Array], jax.Array]:
+        name = self.config.quality_model if role == "quality" else self.config.fast_model
+        if role == "polish":
+            name, scale = "espcn_polish", 1
+        key = (name, scale)
+        if key not in self._apply_fns:
+            module, params = build_model(
+                name, scale, self.config.checkpoint_dir,
+                dtype=jnp.dtype(self.config.compute_dtype),
+            )
+            self._apply_fns[key] = jax.jit(lambda x: module.apply(params, x))
+        return self._apply_fns[key]
+
+    @staticmethod
+    def _to_batch(image: ImageLike) -> Tuple[jax.Array, bool, bool]:
+        """-> ([N,H,W,C] float32 [0,255], was_pil, had_batch)."""
+        was_pil = Image is not None and isinstance(image, Image.Image)
+        if was_pil:
+            arr = np.asarray(image.convert("RGB"), np.float32)
+        else:
+            arr = np.asarray(image, np.float32) if isinstance(image, np.ndarray) else image
+        had_batch = arr.ndim == 4
+        x = jnp.asarray(arr, jnp.float32)
+        if not had_batch:
+            x = x[None]
+        return x, was_pil, had_batch
+
+    @staticmethod
+    def _from_batch(x: jax.Array, was_pil: bool, had_batch: bool):
+        arr = np.clip(np.asarray(x), 0, 255)
+        if not had_batch:
+            arr = arr[0]
+        if was_pil:
+            return Image.fromarray(arr.astype(np.uint8))
+        return arr.astype(np.float32)
+
+    def _run_net(self, x: jax.Array, role: str, scale: float) -> jax.Array:
+        """Apply a net at the nearest supported integer scale, finishing
+        with bicubic to the exact target (reference maps arbitrary scales to
+        a fixed SIZE_MAP, sr:259-264; we resolve exactly)."""
+        target_h = int(round(x.shape[1] * scale))
+        target_w = int(round(x.shape[2] * scale))
+        cur = x
+        remaining = scale
+        while remaining > 1.0 + 1e-6:
+            s = min(4, max(2, int(np.ceil(remaining))))
+            cur = self._net(role, s)(cur)
+            remaining /= s
+        if role == "polish":
+            cur = self._net("polish", 1)(cur)
+        if cur.shape[1] != target_h or cur.shape[2] != target_w:
+            cur = resize_bicubic(cur, target_h, target_w)
+        return cur
+
+    # -- deterministic seed (reference: sr:490-515) ------------------------
+    def _deterministic_seed(self, image: ImageLike, block_id: str = "") -> int:
+        if Image is not None and isinstance(image, Image.Image):
+            buf = io.BytesIO()
+            thumb = image.copy()
+            thumb.thumbnail((64, 64))
+            thumb.save(buf, format="PNG")
+            img_hash = hashlib.md5(buf.getvalue()).hexdigest()
+        else:
+            arr = np.asarray(image)
+            small = np.asarray(
+                resize_bicubic(jnp.asarray(arr, jnp.float32).reshape(
+                    (1,) * (3 - min(arr.ndim, 3)) + arr.shape if arr.ndim < 3 else arr.shape
+                ), 64, 64)
+            ).astype(np.uint8)
+            img_hash = hashlib.md5(small.tobytes()).hexdigest()
+        seed_hash = hashlib.md5(f"{block_id}:{img_hash}".encode()).hexdigest()
+        return int(seed_hash[:8], 16) % (2**31)
+
+    def fold_seed(self, base_key: jax.Array, image: ImageLike, block_id: str = "") -> jax.Array:
+        """jax.random.fold_in of the content-hash seed — the TPU-native form
+        of the reference's style-consistency seeding."""
+        return jax.random.fold_in(base_key, self._deterministic_seed(image, block_id))
+
+    # -- retry (reference: sr:517-559) ------------------------------------
+    def retry_with_backoff(self, func: Callable, *args, **kwargs):
+        last_exc: Optional[Exception] = None
+        for attempt in range(self.MAX_RETRIES):
+            try:
+                return func(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001 - parity: retry any failure
+                last_exc = e
+                delay = min(self.RETRY_BASE_DELAY * (2**attempt), self.RETRY_MAX_DELAY)
+                time.sleep(delay)
+        raise last_exc  # type: ignore[misc]
+
+    # -- providers ---------------------------------------------------------
+    def upscale_seedream(
+        self,
+        image: ImageLike,
+        prompt: str = "",
+        strength: float = 0.5,
+        target_scale: float = 2.0,
+        seed: Optional[int] = None,
+        num_inference_steps: int = 30,
+        block_id: str = "",
+    ) -> SuperResolutionResult:
+        """Quality provider (reference: sr:561-711). The prompt selects a
+        conditioning category (metadata only for the unconditioned nets);
+        steps drive back-projection refinement; strength is its step size."""
+        t0 = time.time()
+        x, was_pil, had_batch = self._to_batch(image)
+        if seed is None:
+            seed = self._deterministic_seed(image, block_id)
+        out = self._run_net(x, "quality", target_scale)
+        eff_scale = out.shape[1] / x.shape[1]
+        if num_inference_steps > 0 and float(eff_scale).is_integer() and eff_scale > 1:
+            out = back_project(
+                out, x, int(eff_scale), steps=min(num_inference_steps, 50),
+                strength=float(np.clip(strength, 0.05, 1.0)),
+            )
+        out = jnp.clip(out, 0, 255)
+        return SuperResolutionResult(
+            image=self._from_batch(out, was_pil, had_batch),
+            original_size=(int(x.shape[2]), int(x.shape[1])),
+            upscaled_size=(int(out.shape[2]), int(out.shape[1])),
+            scale_factor=float(out.shape[1] / x.shape[1]),
+            provider=UpscaleProvider.SEEDREAM.value,
+            processing_time=time.time() - t0,
+            metadata={
+                "seed": seed,
+                "prompt": prompt,
+                "steps": num_inference_steps,
+                "strength": strength,
+                "model": self.config.quality_model,
+            },
+        )
+
+    def upscale_veimagex(
+        self,
+        image: ImageLike,
+        template: VeImageXTemplate = VeImageXTemplate.AI_SUPER_RESOLUTION,
+        scale_factor: float = 2.0,
+    ) -> SuperResolutionResult:
+        """Fast provider (reference: sr:713-840)."""
+        t0 = time.time()
+        x, was_pil, had_batch = self._to_batch(image)
+        if template == VeImageXTemplate.FAST_SR and abs(scale_factor - 1.0) < 1e-6:
+            out = self._net("polish", 1)(x)
+        else:
+            role = "fast"
+            out = self._run_net(x, role, scale_factor)
+        out = jnp.clip(out, 0, 255)
+        return SuperResolutionResult(
+            image=self._from_batch(out, was_pil, had_batch),
+            original_size=(int(x.shape[2]), int(x.shape[1])),
+            upscaled_size=(int(out.shape[2]), int(out.shape[1])),
+            scale_factor=float(out.shape[1] / x.shape[1]),
+            provider=UpscaleProvider.VEIMAGEX.value,
+            processing_time=time.time() - t0,
+            metadata={"template": template.value, "model": self.config.fast_model},
+        )
+
+    def hybrid_upscale(
+        self,
+        image: ImageLike,
+        target_scale: float = 4.0,
+        category: str = "general",
+        block_id: str = "",
+    ) -> SuperResolutionResult:
+        """3-stage ladder (reference: sr:842-1009): fast 2x prefilter ->
+        quality main (falls back to fast on failure) -> 1.0x polish, with
+        per-stage `processing_history`."""
+        t0 = time.time()
+        history = []
+        current: ImageLike = image
+        remaining = target_scale
+
+        # Stage 1: fast 2x prefilter (skipped for small targets / failure).
+        if target_scale >= 2.0:
+            try:
+                r1 = self.retry_with_backoff(
+                    self.upscale_veimagex, current,
+                    VeImageXTemplate.AI_SUPER_RESOLUTION, 2.0,
+                )
+                current = r1.image
+                remaining = target_scale / r1.scale_factor
+                history.append({"stage": "fast_prefilter", "scale": r1.scale_factor,
+                                "time": r1.processing_time})
+            except Exception as e:  # parity: stage-1 failure is non-fatal
+                history.append({"stage": "fast_prefilter", "skipped": str(e)})
+
+        # Stage 2: quality main with fallback to fast standard SR.
+        prompt = PromptTemplateManager.build_prompt(category)
+        if remaining > 1.0 + 1e-6:
+            try:
+                r2 = self.retry_with_backoff(
+                    self.upscale_seedream, current, prompt, 0.5, remaining,
+                    None, 30, block_id,
+                )
+                current = r2.image
+                history.append({"stage": "quality_main", "scale": r2.scale_factor,
+                                "time": r2.processing_time})
+            except Exception as e:
+                r2 = self.upscale_veimagex(
+                    current, VeImageXTemplate.STANDARD_SR, remaining
+                )
+                current = r2.image
+                history.append({"stage": "quality_fallback_fast", "scale": r2.scale_factor,
+                                "time": r2.processing_time, "reason": str(e)})
+
+        # Stage 3: 1.0x polish.
+        r3 = self.upscale_veimagex(current, VeImageXTemplate.FAST_SR, 1.0)
+        current = r3.image
+        history.append({"stage": "fast_polish", "scale": 1.0, "time": r3.processing_time})
+
+        x0, _, _ = self._to_batch(image)
+        xn, _, _ = self._to_batch(current)
+        return SuperResolutionResult(
+            image=current,
+            original_size=(int(x0.shape[2]), int(x0.shape[1])),
+            upscaled_size=(int(xn.shape[2]), int(xn.shape[1])),
+            scale_factor=float(xn.shape[1] / x0.shape[1]),
+            provider=UpscaleProvider.HYBRID.value,
+            processing_time=time.time() - t0,
+            metadata={"processing_history": history, "category": category},
+        )
+
+    # -- dispatcher (reference: sr:1031-1082) ------------------------------
+    def upscale(self, image: ImageLike, config: Optional[UpscaleConfig] = None) -> SuperResolutionResult:
+        cfg = config or UpscaleConfig()
+        provider = cfg.provider
+        if provider in (UpscaleProvider.SEEDREAM, UpscaleProvider.QUALITY):
+            return self.upscale_seedream(
+                image,
+                PromptTemplateManager.build_prompt(cfg.category),
+                cfg.strength,
+                cfg.target_scale,
+                cfg.seed,
+                cfg.num_inference_steps,
+            )
+        if provider in (UpscaleProvider.VEIMAGEX, UpscaleProvider.FAST):
+            return self.upscale_veimagex(
+                image, VeImageXTemplate.STANDARD_SR, cfg.target_scale
+            )
+        if provider == UpscaleProvider.BICUBIC:
+            t0 = time.time()
+            x, was_pil, had_batch = self._to_batch(image)
+            s = cfg.target_scale
+            if float(s).is_integer():
+                out = resize_bicubic_up(x, int(s))
+            else:
+                out = resize_bicubic(x, int(round(x.shape[1] * s)), int(round(x.shape[2] * s)))
+            return SuperResolutionResult(
+                image=self._from_batch(jnp.clip(out, 0, 255), was_pil, had_batch),
+                original_size=(int(x.shape[2]), int(x.shape[1])),
+                upscaled_size=(int(out.shape[2]), int(out.shape[1])),
+                scale_factor=float(out.shape[1] / x.shape[1]),
+                provider="bicubic",
+                processing_time=time.time() - t0,
+            )
+        return self.hybrid_upscale(image, cfg.target_scale, cfg.category)
+
+    # -- batch device path (pipeline hot path) -----------------------------
+    def upscale_tiles(
+        self, tiles: jax.Array, scale: int, provider: str = "quality", steps: int = 0
+    ) -> jax.Array:
+        """Jit-friendly batch path: [N,B,B,C] float32 [0,255] -> upscaled.
+
+        This is what the pipeline calls on the device-resident tile batch;
+        the PIL-facing methods above exist for API parity and single-image
+        use."""
+        if provider == "bicubic":
+            return resize_bicubic_up(tiles, scale)
+        role = "quality" if provider in ("quality", "seedream", "hybrid") else "fast"
+        out = self._net(role, scale)(tiles)
+        if provider in ("hybrid",):
+            out = self._net("polish", 1)(out)
+        if steps > 0:
+            out = back_project(out, tiles, scale, steps=steps)
+        return jnp.clip(out, 0, 255)

@@ -1,0 +1,132 @@
+"""Training for the on-device SR networks.
+
+The reference has no training (its models are remote services); an
+on-device framework must ship one. Provides:
+
+- a jittable, mesh-shardable :func:`train_step` (L1/Charbonnier loss on
+  bicubic-residual nets). Under `jax.jit` with `NamedSharding` annotations
+  the batch shards over the ``data`` mesh axis and patch rows over the
+  ``space`` axis; XLA inserts the conv halo exchanges and gradient psums
+  (see srs_tpu.parallel for mesh plumbing and __graft_entry__ for the
+  multi-chip dry-run).
+- :func:`sample_patches` — LR/HR pair synthesis by cv2-parity bicubic
+  downsampling (the standard SR degradation model).
+- :func:`zssr_finetune` — zero-shot SR: train the net on the *input image
+  itself* (further-downscaled pairs), the on-device analog of the
+  reference's per-image "diffusion quality" without any external weights.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.resize import resize_bicubic
+
+__all__ = [
+    "charbonnier_loss",
+    "make_optimizer",
+    "init_train_state",
+    "train_step",
+    "sample_patches",
+    "zssr_finetune",
+]
+
+
+def charbonnier_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-3) -> jax.Array:
+    """Charbonnier (smooth L1) in the [0,1] domain."""
+    d = (pred - target) / 255.0
+    return jnp.mean(jnp.sqrt(d * d + eps * eps))
+
+
+def make_optimizer(lr: float = 2e-4, clip: float = 1.0) -> optax.GradientTransformation:
+    return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+
+
+def init_train_state(
+    module, params, lr: float = 2e-4
+) -> Tuple[Any, optax.GradientTransformation, Any]:
+    """(params, optimizer, opt_state)."""
+    tx = make_optimizer(lr)
+    return params, tx, tx.init(params)
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(1, 2))
+def train_step(
+    apply_fn: Callable,
+    params,
+    opt_state,
+    tx: optax.GradientTransformation,
+    lr_batch: jax.Array,
+    hr_batch: jax.Array,
+) -> Tuple[Any, Any, Dict[str, jax.Array]]:
+    """One optimizer step. Pure function of (params, opt_state, batch);
+    shard the batch over the mesh and XLA handles the collectives."""
+
+    def loss_fn(p):
+        pred = apply_fn(p, lr_batch)
+        return charbonnier_loss(pred, hr_batch)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    gnorm = optax.global_norm(grads)
+    return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+
+def sample_patches(
+    rng: np.random.Generator,
+    hr_image: np.ndarray,
+    num: int,
+    patch: int,
+    scale: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random HR patches + their bicubic LR counterparts.
+
+    Returns (lr [num, patch, patch, C], hr [num, patch*scale, ...]).
+    ``patch`` is the LR patch size.
+    """
+    h, w = hr_image.shape[:2]
+    hp = patch * scale
+    assert h >= hp and w >= hp, f"image {h}x{w} smaller than HR patch {hp}"
+    ys = rng.integers(0, h - hp + 1, num)
+    xs = rng.integers(0, w - hp + 1, num)
+    hr = np.stack([hr_image[y : y + hp, x : x + hp] for y, x in zip(ys, xs)]).astype(np.float32)
+    lr = np.asarray(resize_bicubic(jnp.asarray(hr), patch, patch))
+    return lr, hr
+
+
+def zssr_finetune(
+    module,
+    params,
+    lr_image: np.ndarray,
+    scale: int = 2,
+    steps: int = 200,
+    patch: int = 48,
+    batch: int = 16,
+    lr: float = 1e-3,
+    seed: int = 0,
+) -> Any:
+    """Zero-shot SR (Shocher et al. 2018 idea): treat the input image as HR
+    ground truth, synthesize LR pairs by downscaling it further, and
+    fine-tune the net so it learns this image's internal statistics.
+    Returns the fine-tuned params."""
+    rng = np.random.default_rng(seed)
+    tx = make_optimizer(lr)
+    # train_step donates its params/opt_state buffers; work on a copy so the
+    # caller's params remain usable.
+    params = jax.tree.map(jnp.array, params)
+    opt_state = tx.init(params)
+    apply_fn = module.apply
+    img = np.asarray(lr_image, np.float32)
+    for _ in range(steps):
+        lrp, hrp = sample_patches(rng, img, batch, patch, scale)
+        params, opt_state, _ = train_step(
+            apply_fn, params, opt_state, tx, jnp.asarray(lrp), jnp.asarray(hrp)
+        )
+    return params

@@ -1,0 +1,207 @@
+"""SR model tests: bicubic-equivalence at init, provider dispatch, hybrid
+ladder, deterministic seeds, prompts, training convergence, LPIPS, ZSSR."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from srs_tpu.models.nets import EDSR, ESPCN, back_project, depth_to_space
+from srs_tpu.models.prompts import PromptTemplateManager, category_id
+from srs_tpu.models.registry import MODEL_REGISTRY, build_model
+from srs_tpu.models.sr_module import (
+    SuperResolutionModule,
+    UpscaleConfig,
+    UpscaleProvider,
+    VeImageXTemplate,
+)
+from srs_tpu.ops.resize import resize_bicubic_up
+from srs_tpu.qa.metrics import psnr
+
+
+@pytest.fixture(scope="module")
+def img64(rng=None):
+    r = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    img = np.stack(
+        [127 + 90 * np.sin(xx / 9), 127 + 90 * np.cos(yy / 7), 127 + 90 * np.sin((xx + yy) / 11)],
+        -1,
+    )
+    return np.clip(img + r.normal(0, 2, img.shape), 0, 255).astype(np.float32)
+
+
+def test_depth_to_space():
+    x = jnp.arange(1 * 1 * 1 * 12).reshape(1, 1, 1, 12).astype(jnp.float32)
+    y = depth_to_space(x, 2)
+    assert y.shape == (1, 2, 2, 3)
+
+
+@pytest.mark.parametrize("net_cls", [ESPCN, EDSR])
+def test_nets_equal_bicubic_at_init(img64, net_cls):
+    model = net_cls(scale=2)
+    x = jnp.asarray(img64)[None]
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    ref = resize_bicubic_up(x, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_polish_identity_at_init(img64):
+    model = ESPCN(scale=1)
+    x = jnp.asarray(img64)[None]
+    params = model.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(model.apply(params, x)), np.asarray(x), atol=1e-3)
+
+
+def test_back_projection_improves_consistency(img64):
+    from srs_tpu.ops.resize import resize_bicubic
+
+    x = jnp.asarray(img64)[None]
+    sr0 = resize_bicubic_up(x, 2)
+    sr = back_project(sr0, x, 2, steps=10)
+    # downsample-consistency must improve
+    e0 = float(jnp.mean((resize_bicubic(sr0, 64, 64) - x) ** 2))
+    e1 = float(jnp.mean((resize_bicubic(sr, 64, 64) - x) ** 2))
+    assert e1 < e0
+
+
+def test_registry_build_and_cache():
+    m1, p1 = build_model("espcn", 2)
+    m2, p2 = build_model("espcn", 2)
+    assert m1 is m2 and p1 is p2
+    with pytest.raises(KeyError):
+        build_model("nope", 2)
+    assert set(MODEL_REGISTRY) >= {"espcn", "espcn_polish", "edsr_m", "edsr_l"}
+
+
+def test_sr_module_providers(img64):
+    sr = SuperResolutionModule()
+    r = sr.upscale_seedream(img64, target_scale=2.0, num_inference_steps=4)
+    assert r.upscaled_size == (128, 128) and r.provider == "seedream"
+    assert r.metadata["seed"] == sr._deterministic_seed(img64, "")
+    r2 = sr.upscale_veimagex(img64, VeImageXTemplate.AI_SUPER_RESOLUTION, 2.0)
+    assert r2.upscaled_size == (128, 128) and r2.provider == "veimagex"
+    # quality at init ~= bicubic+IBP, so PSNR vs bicubic must be high
+    base = np.asarray(resize_bicubic_up(jnp.asarray(img64)[None], 2))[0]
+    assert float(psnr(jnp.asarray(np.asarray(r2.image)), jnp.asarray(base))) > 30
+
+
+def test_sr_module_pil_roundtrip(img64):
+    sr = SuperResolutionModule()
+    pil = Image.fromarray(img64.astype(np.uint8))
+    r = sr.upscale_seedream(pil, target_scale=2.0, num_inference_steps=0)
+    assert isinstance(r.image, Image.Image)
+    assert r.image.size == (128, 128)
+
+
+def test_sr_module_fractional_scale(img64):
+    sr = SuperResolutionModule()
+    r = sr.upscale(img64, UpscaleConfig(provider=UpscaleProvider.FAST, target_scale=1.5))
+    assert r.upscaled_size == (96, 96)
+
+
+def test_hybrid_ladder_history(img64):
+    sr = SuperResolutionModule()
+    r = sr.hybrid_upscale(img64, target_scale=4.0)
+    assert r.upscaled_size == (256, 256)
+    stages = [h["stage"] for h in r.metadata["processing_history"]]
+    assert stages[0] == "fast_prefilter"
+    assert stages[-1] == "fast_polish"
+    assert any(s.startswith("quality") for s in stages)
+
+
+def test_deterministic_seed_parity_semantics(img64):
+    sr = SuperResolutionModule()
+    s1 = sr._deterministic_seed(img64, "block_a")
+    s2 = sr._deterministic_seed(img64, "block_a")
+    s3 = sr._deterministic_seed(img64, "block_b")
+    assert s1 == s2 != s3
+    assert 0 <= s1 < 2**31
+    pil = Image.fromarray(img64.astype(np.uint8))
+    p1 = sr._deterministic_seed(pil, "x")
+    assert p1 == sr._deterministic_seed(pil, "x")
+
+
+def test_retry_with_backoff_raises_after_max(monkeypatch):
+    sr = SuperResolutionModule()
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    calls = []
+
+    def failing():
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        sr.retry_with_backoff(failing)
+    assert len(calls) == sr.MAX_RETRIES
+
+
+def test_prompt_templates():
+    cats = PromptTemplateManager.list_categories()
+    assert set(cats) == {"beauty", "3c", "food", "fashion", "jewelry", "furniture",
+                         "automotive", "general"}
+    p = PromptTemplateManager.build_prompt("jewelry")
+    assert "###" in p
+    p2 = PromptTemplateManager.build_prompt("jewelry", include_negative=False)
+    assert "###" not in p2
+    assert PromptTemplateManager.get_template("unknown") == PromptTemplateManager.TEMPLATES["general"]
+    assert category_id("food") != category_id("general")
+    assert category_id("unknown") == category_id("general")
+
+
+def test_training_reduces_loss(img64):
+    from srs_tpu.models.train import init_train_state, make_optimizer, sample_patches, train_step
+
+    model = ESPCN(scale=2, features=16)
+    x0 = jnp.zeros((1, 24, 24, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(0)
+    losses = []
+    for i in range(20):
+        lr, hr = sample_patches(rng, img64, 8, 24, 2)
+        params, opt_state, m = train_step(
+            model.apply, params, opt_state, tx, jnp.asarray(lr), jnp.asarray(hr)
+        )
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_zssr_improves_or_matches_bicubic(img64):
+    from srs_tpu.models.train import zssr_finetune
+    from srs_tpu.ops.resize import resize_bicubic
+
+    model = ESPCN(scale=2, features=16)
+    lr_img = np.asarray(resize_bicubic(jnp.asarray(img64)[None], 32, 32))[0]
+    params0 = model.init(jax.random.PRNGKey(0), jnp.asarray(lr_img)[None])
+    params = zssr_finetune(model, params0, lr_img, scale=2, steps=30, patch=12, batch=8, lr=2e-4)
+    # caller's params must survive (zssr copies before donation)
+    _ = model.apply(params0, jnp.asarray(lr_img)[None])
+    sr = np.asarray(model.apply(params, jnp.asarray(lr_img)[None]))[0]
+    bic = np.asarray(resize_bicubic_up(jnp.asarray(lr_img)[None], 2))[0]
+    p_sr = float(psnr(jnp.asarray(sr), jnp.asarray(img64)))
+    p_bic = float(psnr(jnp.asarray(bic), jnp.asarray(img64)))
+    # bicubic is near-optimal for this band-limited synthetic fixture; ZSSR
+    # must stay close here (its wins come from self-similar natural detail)
+    assert p_sr > p_bic - 1.5
+
+
+def test_lpips_metric_properties(img64):
+    from srs_tpu.models.lpips import LPIPSMetric
+
+    lp = LPIPSMetric()
+    a = jnp.asarray(img64)
+    assert float(lp(a, a)) < 1e-6
+    noisy = jnp.asarray(
+        np.clip(img64 + np.random.default_rng(0).normal(0, 25, img64.shape), 0, 255).astype(np.float32)
+    )
+    very_noisy = jnp.asarray(
+        np.clip(img64 + np.random.default_rng(1).normal(0, 80, img64.shape), 0, 255).astype(np.float32)
+    )
+    d1 = float(lp(a, noisy))
+    d2 = float(lp(a, very_noisy))
+    assert 0 < d1 < d2
+    # alex arch also works
+    assert float(lp(a, noisy, net="alex")) > 0
