@@ -1,0 +1,93 @@
+"""Benchmark: 720p -> 100MP end-to-end super-resolution on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference does 100MP in 5-8 min with 60
+concurrent remote API calls -> midpoint 390 s = 0.2564 MP/s. vs_baseline
+is our MP/s over that. The driver records the result per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MP_PER_SEC = 100.0 / 390.0  # reference midpoint (README.md:166-170)
+
+
+def make_input(path: str) -> None:
+    from PIL import Image
+
+    h, w = 720, 1280
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [
+            127 + 90 * np.sin(xx / 37) * np.cos(yy / 23),
+            127 + 90 * np.cos((xx + yy) / 41),
+            127 + 90 * np.sin((xx - yy) / 29),
+        ],
+        -1,
+    )
+    rng = np.random.default_rng(0)
+    img = np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
+    Image.fromarray(img).save(path)
+
+
+def main() -> None:
+    from srs_tpu.pipeline import PipelineConfig, SuperResolutionPipeline
+
+    workdir = os.environ.get("SRS_BENCH_DIR", "/tmp/srs_bench")
+    os.makedirs(workdir, exist_ok=True)
+    inp = os.path.join(workdir, "input_720p.png")
+    out = os.path.join(workdir, "output_100mp.tiff")
+    make_input(inp)
+
+    cfg = PipelineConfig(
+        block_size=int(os.environ.get("SRS_BENCH_BLOCK", "512")),
+        overlap_ratio=0.2,
+        target_resolution="100MP",
+        provider=os.environ.get("SRS_BENCH_PROVIDER", "quality"),
+        ibp_steps=int(os.environ.get("SRS_BENCH_IBP", "4")),
+        enable_qa=os.environ.get("SRS_BENCH_QA", "1") == "1",
+    )
+    pipe = SuperResolutionPipeline(cfg)
+
+    # Warmup: compile everything (first XLA compile is tens of seconds).
+    r0 = pipe.process(inp, out)
+    if not r0.success:
+        print(json.dumps({"metric": "error", "value": 0, "unit": "",
+                          "vs_baseline": 0, "error": r0.error_message}))
+        sys.exit(1)
+
+    t0 = time.time()
+    r = pipe.process(inp, out)
+    elapsed = time.time() - t0
+    assert r.success, r.error_message
+
+    from PIL import Image
+
+    Image.MAX_IMAGE_PIXELS = None
+    with Image.open(out) as im:
+        w, h = im.size
+    mp = w * h / 1e6
+    mp_per_sec = mp / elapsed
+    result = {
+        "metric": "720p_to_100MP_end_to_end",
+        "value": round(mp_per_sec, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(mp_per_sec / BASELINE_MP_PER_SEC, 1),
+        "elapsed_s": round(elapsed, 2),
+        "output_mp": round(mp, 1),
+        "stage_times": {k: round(v, 2) for k, v in r.stage_times.items()},
+        "quality_score": r.quality_score,
+        "provider": cfg.provider,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,6 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from einops import rearrange
 
 from ..ops.resize import resize_bicubic_up
 
@@ -36,8 +35,42 @@ __all__ = ["ESPCN", "EDSR", "depth_to_space", "back_project"]
 
 
 def depth_to_space(x: jax.Array, scale: int) -> jax.Array:
-    """Pixel shuffle: [N, H, W, C*s^2] -> [N, H*s, W*s, C]."""
-    return rearrange(x, "n h w (s1 s2 c) -> n (h s1) (w s2) c", s1=scale, s2=scale)
+    """Pixel shuffle: [N, H, W, C*s^2] -> [N, H*s, W*s, C].
+
+    Implemented as one 5-D transpose whose minor dimension stays large
+    (``s*c``) instead of the naive 6-D einops rearrange — on TPU the 6-D
+    form materializes temps with tiny minor dims (s, c) that the (8, 128)
+    tiling pads 2-3x, which at print-grade tile sizes is the HBM peak.
+    Channel decomposition (s1, s2, c) matches the einops order.
+    """
+    n, h, w, cc = x.shape
+    s = scale
+    c = cc // (s * s)
+    x = x.reshape(n, h, w, s, s * c)
+    x = x.transpose(0, 1, 3, 2, 4)  # n, h, s1, w, s2*c
+    x = x.reshape(n, h * s, w * s, c)
+    return x
+
+
+def _shuffle_factors(scale: int) -> list:
+    """Decompose a scale into {2, 3} pixel-shuffle stages (4 -> 2x2 etc.).
+
+    Progressive upsampling caps the pre-shuffle channel count at
+    features*9 instead of features*scale^2 — a single-conv x4 shuffle
+    materializes features*16 channels at full pre-shuffle resolution,
+    which is the HBM peak for large tiles.
+    """
+    factors = []
+    s = scale
+    while s % 2 == 0 and s > 1:
+        factors.append(2)
+        s //= 2
+    while s % 3 == 0 and s > 1:
+        factors.append(3)
+        s //= 3
+    if s != 1:
+        raise ValueError(f"unsupported scale {scale}: must factor into 2s and 3s")
+    return factors
 
 
 class ESPCN(nn.Module):
@@ -65,14 +98,33 @@ class ESPCN(nn.Module):
         h = nn.relu(h)
         h = nn.Conv(self.features // 2, (3, 3), dtype=self.dtype, name="conv_mid")(h)
         h = nn.relu(h)
-        r = nn.Conv(
-            self.channels * self.scale**2,
-            (3, 3),
-            dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
-            name="conv_out",
-        )(h)
-        r = depth_to_space(r, self.scale) if self.scale > 1 else r
+        if self.scale > 1:
+            factors = _shuffle_factors(self.scale)
+            for i, f in enumerate(factors[:-1]):
+                h = nn.Conv(
+                    (self.features // 2) * f * f, (3, 3), dtype=self.dtype,
+                    name=f"up_{i}",
+                )(h)
+                h = nn.relu(depth_to_space(h, f))
+            # Final residual stage as a zero-init transposed conv: a
+            # conv + 3-channel pixel shuffle forces a transpose whose minor
+            # dim is s^2*channels (= 9..12) — TPU tiling pads that 10-40x
+            # at print-grade sizes. ConvTranspose is the fused equivalent
+            # with compiler-chosen layouts.
+            f = factors[-1]
+            r = nn.ConvTranspose(
+                self.channels,
+                (2 * f, 2 * f),
+                strides=(f, f),
+                dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                name="conv_out",
+            )(h)
+        else:
+            r = nn.Conv(
+                self.channels, (3, 3), dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, name="conv_out",
+            )(h)
         return base + r.astype(jnp.float32) * 255.0
 
 
@@ -113,17 +165,33 @@ class EDSR(nn.Module):
             h = _ResBlock(self.features, self.res_scale, self.dtype, name=f"block_{i}")(h)
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="body_out")(h) + h0
         if self.scale > 1:
-            h = nn.Conv(
-                self.features * self.scale**2, (3, 3), dtype=self.dtype, name="up_conv"
+            factors = _shuffle_factors(self.scale)
+            for i, f in enumerate(factors[:-1]):
+                h = nn.Conv(
+                    self.features * f * f, (3, 3), dtype=self.dtype, name=f"up_conv_{i}"
+                )(h)
+                h = depth_to_space(h, f)
+            # Final residual stage as a zero-init transposed conv (see
+            # ESPCN.conv_out): runs at 1/f^2 of the output resolution and
+            # avoids the tiny-minor-dim shuffle transpose the TPU tiling
+            # pads 10-40x. Zero init keeps the exact bicubic floor.
+            f = factors[-1]
+            r = nn.ConvTranspose(
+                self.channels,
+                (2 * f, 2 * f),
+                strides=(f, f),
+                dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                name="tail",
             )(h)
-            h = depth_to_space(h, self.scale)
-        r = nn.Conv(
-            self.channels,
-            (3, 3),
-            dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
-            name="tail",
-        )(h)
+        else:
+            r = nn.Conv(
+                self.channels,
+                (3, 3),
+                dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                name="tail",
+            )(h)
         return base + r.astype(jnp.float32) * 255.0
 
 

@@ -86,15 +86,11 @@ def _up_axis(x: jax.Array, axis: int, out_n: int) -> jax.Array:
     right = _slice_axis(xp, axis, 2, n + 2)  # src[i+1]
     even = (left + 6.0 * mid + right) * 0.125
     odd = (mid + right) * 0.5
-    inter = jnp.stack([even, odd], axis=axis + 1)
-    new_shape = list(x.shape)
-    new_shape[axis] = 2 * n
-    inter = inter.reshape(new_shape)
-    if out_n == 2 * n:
-        return inter
     if not (2 * n - 2 <= out_n <= 2 * n):
         raise ValueError(f"pyr_up dst size {out_n} incompatible with src {n}")
-    return _slice_axis(inter, axis, 0, out_n)
+    from .interleave import interleave_axis
+
+    return interleave_axis([even, odd], axis, out_n)
 
 
 def pyr_down(x: jax.Array) -> jax.Array:

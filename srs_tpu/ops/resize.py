@@ -115,10 +115,9 @@ def _up_axis(x: jax.Array, axis: int, scale: int) -> jax.Array:
             term = s * np.float32(w[p, t])
             acc = term if acc is None else acc + term
         phases.append(acc)
-    inter = jnp.stack(phases, axis=axis + 1)
-    new_shape = list(x.shape)
-    new_shape[axis] = n * scale
-    return inter.reshape(new_shape)
+    from .interleave import interleave_axis
+
+    return interleave_axis(phases, axis)
 
 
 @partial(jax.jit, static_argnames=("scale",))

@@ -1,0 +1,384 @@
+"""SuperResolutionPipeline — the 5-stage public entry point.
+
+API-parity port of the reference pipeline (reference: main.py:47-441):
+`PipelineConfig`, `PipelineResult`, `SuperResolutionPipeline` with async
+context manager and the 5 stages — tiling, parallel SR, blending, QA,
+save — plus `_calculate_target_size` (reference main.py:157-192; dead code
+there, actually used here).
+
+TPU-native inversion (SURVEY §7 design stance): the reference is an async
+I/O orchestrator around per-tile HTTPS calls with a 30-way semaphore
+(main.py:254-262); here stages 1-3 are jitted array programs over one
+HBM-resident tile batch. `process()` is synchronous — there is no network
+to await. The AgentScheduler still runs as the policy/bookkeeping layer
+(properly awaited, fixing the reference's un-awaited `submit_task` defect,
+main.py:251) and its checkpoint/statistics surfaces feed the monitor UI.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .blending import BlendingModule
+from .config import RESOLUTION_PRESETS, SystemConfig
+from .io.image import load_image, save_image
+from .models.sr_module import SuperResolutionModule
+from .ops import blend as B
+from .ops.resize import resize_bicubic
+from .ops.tiles import extract_tiles, pad_image, unpad_image
+from .ops.weights import layout_weights
+from .qa.module import QualityAssessmentModule
+from .scheduler.scheduler import AgentScheduler, Task, TaskStatus
+from .tiling.geometry import compute_layout
+from .tiling.tiling import TilingModule
+
+logger = logging.getLogger("srs_tpu.pipeline")
+
+
+@dataclass
+class PipelineConfig:
+    """(reference: main.py:47-76). volc_* credential fields are accepted
+    for drop-in parity and ignored (no remote engine)."""
+
+    block_size: int = 512
+    overlap_ratio: float = 0.2
+    padding_mode: str = "mirror"
+    target_resolution: str = "100MP"
+    seedream_strength: float = 0.5
+    seedream_steps: int = 50
+    blend_method: str = "laplacian"
+    num_pyramid_levels: int = 6
+    max_agents: int = 60
+    max_concurrent: int = 30
+    enable_qa: bool = True
+    qa_device: str = "tpu"
+    provider: str = "quality"  # quality | fast | hybrid | bicubic
+    ibp_steps: int = 8  # back-projection refinement steps on the tile batch
+    volc_ak: str = ""
+    volc_sk: str = ""
+    volc_region: str = ""
+
+
+@dataclass
+class PipelineResult:
+    """(reference: main.py:78-90)."""
+
+    success: bool
+    output_path: Optional[str]
+    processing_time: float
+    total_blocks: int
+    successful_blocks: int
+    failed_blocks: int
+    quality_score: Optional[float]
+    quality_report: Optional[Dict[str, Any]]
+    error_message: Optional[str]
+    stage_times: Dict[str, float] = field(default_factory=dict)
+
+
+def _scale_ladder(total: float) -> List[int]:
+    """Minimal-overshoot ladder of {2,3,4}x net passes covering ``total``.
+
+    Returns [] when total <= 1 (bicubic/identity handles the remainder)."""
+    if total <= 1.0:
+        return []
+    best: Tuple[float, List[int]] = (float("inf"), [4, 4, 4, 4])
+    def rec(prod: float, steps: List[int]):
+        nonlocal best
+        if prod >= total:
+            if prod < best[0]:
+                best = (prod, list(steps))
+            return
+        if prod > total * 4:
+            return
+        for s in (2, 3, 4):
+            steps.append(s)
+            rec(prod * s, steps)
+            steps.pop()
+    rec(1.0, [])
+    return best[1]
+
+
+class SuperResolutionPipeline:
+    """tile -> SR -> blend -> assess -> save."""
+
+    def __init__(self, config: Optional[PipelineConfig] = None):
+        self.config = config or PipelineConfig()
+        sys_cfg = SystemConfig.from_env()
+        # Stage modules constructed eagerly (reference: main.py:115-128).
+        self.tiling_module = TilingModule(
+            block_size=self.config.block_size,
+            overlap_ratio=self.config.overlap_ratio,
+            padding_mode=self.config.padding_mode,
+            config=sys_cfg.tiling,
+        )
+        self.blending_module = BlendingModule(
+            config=sys_cfg.blending, num_levels=self.config.num_pyramid_levels
+        )
+        self.quality_module = (
+            QualityAssessmentModule(sys_cfg.quality, device=self.config.qa_device)
+            if self.config.enable_qa
+            else None
+        )
+        # Engine + scheduler built in __aenter__ for reference parity
+        # (main.py:136-150) but also lazily on first use for sync callers.
+        self.sr_module: Optional[SuperResolutionModule] = None
+        self.scheduler: Optional[AgentScheduler] = None
+
+    # -- async context parity (reference: main.py:136-155) -----------------
+    async def __aenter__(self) -> "SuperResolutionPipeline":
+        self._ensure_engine()
+        return self
+
+    async def __aexit__(self, exc_type, exc, tb) -> None:
+        if self.scheduler is not None:
+            await self.scheduler.stop()
+
+    def __enter__(self) -> "SuperResolutionPipeline":
+        self._ensure_engine()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        pass
+
+    def _ensure_engine(self) -> None:
+        if self.sr_module is None:
+            self.sr_module = SuperResolutionModule()
+        if self.scheduler is None:
+            self.scheduler = AgentScheduler(
+                max_agents=self.config.max_agents,
+                max_concurrent=self.config.max_concurrent,
+                initial_agents=0,
+            )
+            try:
+                self.scheduler.attach_mesh_devices()
+            except Exception:
+                pass
+
+    # -- target size (reference: main.py:157-192) --------------------------
+    def _calculate_target_size(
+        self, original_size: Tuple[int, int], target_resolution: str
+    ) -> Tuple[int, int]:
+        width, height = original_size
+        aspect = width / height
+        if target_resolution in RESOLUTION_PRESETS:
+            tw, th = RESOLUTION_PRESETS[target_resolution]
+            if aspect > tw / th:
+                th = int(tw / aspect)
+            else:
+                tw = int(th * aspect)
+            return (tw, th)
+        try:
+            w, h = map(int, target_resolution.lower().split("x"))
+            return (w, h)
+        except Exception:
+            logger.warning("unparseable target resolution %r; using 100MP", target_resolution)
+            tw, th = RESOLUTION_PRESETS["100MP"]
+            if aspect > tw / th:
+                th = int(tw / aspect)
+            else:
+                tw = int(th * aspect)
+            return (tw, th)
+
+    # -- device stages -----------------------------------------------------
+    def _upscale_batch(self, tiles: jnp.ndarray, ladder: List[int]) -> jnp.ndarray:
+        """Run the net ladder over the tile batch, chunked to bound HBM."""
+        assert self.sr_module is not None
+        n = int(tiles.shape[0])
+        final_block = int(tiles.shape[1]) * int(np.prod(ladder)) if ladder else int(tiles.shape[1])
+        # Peak per tile ~= pre-shuffle feature maps (64ch bf16 at output
+        # resolution after progressive x2 stages) + fp32 output.
+        bytes_per_tile = final_block * final_block * 160
+        chunk = max(1, min(n, int(4e9 // max(bytes_per_tile, 1))))
+        outs = []
+        for i in range(0, n, chunk):
+            cur = tiles[i : i + chunk]
+            for si, s in enumerate(ladder):
+                steps = self.config.ibp_steps if si == len(ladder) - 1 else 0
+                cur = self.sr_module.upscale_tiles(
+                    cur, s, provider=self.config.provider, steps=steps
+                )
+            outs.append(cur)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def _blend(self, up_tiles: jnp.ndarray, out_layout) -> jnp.ndarray:
+        method = self.config.blend_method
+        if method in ("laplacian", "multi_band"):
+            wt = "sigmoid" if method == "multi_band" else "cosine"
+            weights = layout_weights(out_layout, kind="ramp") if wt == "cosine" else layout_weights(out_layout, kind="distance", weight_type=wt)
+            return B.laplacian_fusion_tiles(
+                up_tiles, weights, out_layout, levels=self.config.num_pyramid_levels
+            )
+        if method in ("weighted", "weighted_average", "feather"):
+            kind = "ramp" if method != "feather" else "distance"
+            return B.weighted_fusion_tiles(
+                up_tiles, layout_weights(out_layout, kind=kind), out_layout,
+                clip_range=(0, 255),
+            )
+        if method in ("gradient", "gradient_domain", "poisson"):
+            return B.gradient_domain_fusion_tiles(
+                up_tiles, layout_weights(out_layout, kind="ramp"), out_layout
+            )
+        raise ValueError(f"unknown blend method {method!r}")
+
+    # -- scheduler bookkeeping --------------------------------------------
+    def _book_tasks(self, n: int, output_path: str, scale: float) -> List[Task]:
+        tasks = [
+            Task(
+                input_path=f"tile_{i}",
+                output_path=output_path,
+                scale_factor=scale,
+                has_edge_dependency=True,
+            )
+            for i in range(n)
+        ]
+        if self.scheduler is None:
+            return tasks
+
+        async def run():
+            for t in tasks:
+                await self.scheduler.submit_task(t)
+            await self.scheduler._dispatch_tasks()
+
+        self._run_async(run())
+        return tasks
+
+    def _book_done(self, tasks: List[Task]) -> None:
+        if self.scheduler is None:
+            return
+
+        async def run():
+            for t in tasks:
+                await self.scheduler.collect_result(
+                    t.task_id,
+                    {"output_path": "", "width": 0, "height": 0, "color_mode": "RGB"},
+                )
+
+        self._run_async(run())
+
+    @staticmethod
+    def _run_async(coro) -> None:
+        try:
+            asyncio.get_running_loop()
+        except RuntimeError:
+            asyncio.run(coro)
+            return
+        # inside a running loop: schedule without blocking
+        asyncio.ensure_future(coro)
+
+    # -- the 5 stages (reference: main.py:269-441) -------------------------
+    def process(
+        self,
+        input_path: str,
+        output_path: str,
+        prompt: Optional[str] = None,
+        roi_regions: Optional[List[Dict[str, Any]]] = None,
+    ) -> PipelineResult:
+        start = time.time()
+        stage_times: Dict[str, float] = {}
+        self._ensure_engine()
+        try:
+            # ---- Stage 1: tiling ----
+            t0 = time.time()
+            image = load_image(input_path) if isinstance(input_path, str) else np.asarray(input_path, np.float32)
+            h, w = image.shape[:2]
+            tw, th = self._calculate_target_size((w, h), self.config.target_resolution)
+            scale_total = max(tw / w, th / h)
+            ladder = _scale_ladder(scale_total)
+            net_scale = int(np.prod(ladder)) if ladder else 1
+            layout, tiles = self.tiling_module.split_to_batch(image)
+            image_hash = self.tiling_module.compute_image_hash(
+                input_path if isinstance(input_path, str) else image
+            )
+            self.tiling_module._layouts[image_hash] = layout
+            stage_times["tiling"] = time.time() - t0
+            logger.info(
+                "Stage 1: %dx%d -> %dx%d grid (block %d, overlap %d), ladder %s",
+                w, h, layout.nx, layout.ny, layout.block, layout.overlap, ladder,
+            )
+
+            # ---- Stage 2: parallel SR ----
+            t0 = time.time()
+            tasks = self._book_tasks(layout.num_tiles, output_path, scale_total)
+            up_tiles = self._upscale_batch(tiles, ladder)
+            up_tiles.block_until_ready()
+            self._book_done(tasks)
+            stage_times["super_resolution"] = time.time() - t0
+
+            # ---- Stage 3: blending ----
+            t0 = time.time()
+            out_layout = layout.scaled(net_scale)
+            canvas = self._blend(up_tiles, out_layout)
+            fused = unpad_image(canvas, out_layout)
+            # exact target size (aspect preserved by construction)
+            if (fused.shape[0], fused.shape[1]) != (th, tw):
+                fused = resize_bicubic(fused, th, tw)
+            fused.block_until_ready()
+            stage_times["blending"] = time.time() - t0
+
+            # ---- Stage 4: QA ----
+            t0 = time.time()
+            quality_report = None
+            quality_score = None
+            if self.quality_module is not None:
+                fused_small = resize_bicubic(fused, h, w)
+                fr = self.quality_module.evaluate_full_reference(
+                    image, np.asarray(fused_small)
+                )
+                nr = self.quality_module.evaluate_no_reference(np.asarray(fused_small))
+                quality_report = {**fr, **nr}
+                if roi_regions:
+                    # ROI boxes are in input coordinates; fused_small is
+                    # input-sized, so they apply directly
+                    quality_report.update(
+                        self.quality_module.evaluate_commercial(
+                            np.asarray(fused_small), roi_regions
+                        )
+                    )
+                quality_score = quality_report.get("overall_score")
+            stage_times["quality_assessment"] = time.time() - t0
+
+            # ---- Stage 5: save ----
+            t0 = time.time()
+            fused_np = np.asarray(fused)
+            save_image(output_path, fused_np)
+            if quality_report:
+                report_path = output_path.rsplit(".", 1)[0] + "_qa_report.json"
+                with open(report_path, "w", encoding="utf-8") as f:
+                    json.dump(quality_report, f, indent=2, ensure_ascii=False)
+            stage_times["save"] = time.time() - t0
+
+            return PipelineResult(
+                success=True,
+                output_path=output_path,
+                processing_time=time.time() - start,
+                total_blocks=layout.num_tiles,
+                successful_blocks=layout.num_tiles,
+                failed_blocks=0,
+                quality_score=quality_score,
+                quality_report=quality_report,
+                error_message=None,
+                stage_times=stage_times,
+            )
+        except Exception as e:  # noqa: BLE001 - parity: never raise (main.py:425-441)
+            logger.exception("pipeline failed")
+            return PipelineResult(
+                success=False,
+                output_path=None,
+                processing_time=time.time() - start,
+                total_blocks=0,
+                successful_blocks=0,
+                failed_blocks=0,
+                quality_score=None,
+                quality_report=None,
+                error_message=str(e),
+                stage_times=stage_times,
+            )

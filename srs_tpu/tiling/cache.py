@@ -118,6 +118,10 @@ class TileStore:
         return [f[:-4] for f in os.listdir(d) if f.endswith(".npz")]
 
     def evict_image(self, image_hash: str) -> None:
+        prefix = f"{image_hash}/"
+        with self.l1._lock:
+            for key in [k for k in self.l1._data if k.startswith(prefix)]:
+                del self.l1._data[key]
         d = os.path.join(self.cache_dir, image_hash)
         if os.path.isdir(d):
             for f in os.listdir(d):

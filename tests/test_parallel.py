@@ -1,0 +1,90 @@
+"""Mesh / sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from srs_tpu.ops.tiles import extract_tiles, merge_tiles, pad_image
+from srs_tpu.ops.weights import layout_weights
+from srs_tpu.parallel.dispatch import MeshTileDispatcher
+from srs_tpu.parallel.halo import sharded_weighted_merge
+from srs_tpu.parallel.mesh import make_mesh, spatial_sharding
+from srs_tpu.tiling.geometry import compute_layout
+
+
+def test_make_mesh_shapes(eight_devices):
+    m = make_mesh()
+    assert m.shape == {"data": 8}
+    m2 = make_mesh({"data": 4, "space": 2})
+    assert m2.shape == {"data": 4, "space": 2}
+    m3 = make_mesh({"data": -1, "space": 2})
+    assert m3.shape == {"data": 4, "space": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 16})
+    with pytest.raises(ValueError):
+        make_mesh({"data": -1, "space": -1})
+
+
+def test_halo_merge_matches_single_device(rng):
+    # canvas sharded over 8-way space axis; ny=8 tile rows
+    mesh = make_mesh({"space": 8})
+    block, ratio = 64, 0.25
+    lo = compute_layout(300, 8 * 48 + 16, block, ratio)  # ny = 8
+    assert lo.ny == 8, lo.ny
+    img = rng.random((lo.image_h, lo.image_w, 3), dtype=np.float32)
+    tiles = extract_tiles(pad_image(jnp.asarray(img), lo), lo)
+    weights = jnp.asarray(layout_weights(lo, kind="ramp"))
+    ref = np.asarray(merge_tiles(tiles, weights, lo))
+    got = np.asarray(sharded_weighted_merge(tiles, weights, lo, mesh))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_halo_merge_requires_divisible_rows(rng):
+    mesh = make_mesh({"space": 8})
+    lo = compute_layout(100, 100, 64, 0.25)  # ny = 2
+    tiles = jnp.zeros((lo.num_tiles, lo.block, lo.block, 3))
+    w = jnp.ones((lo.num_tiles, lo.block, lo.block))
+    with pytest.raises(ValueError):
+        sharded_weighted_merge(tiles, w, lo, mesh)
+
+
+def test_dispatcher_run_tiled(rng):
+    disp = MeshTileDispatcher(make_mesh({"data": 8}))
+    tiles = jnp.asarray(rng.random((12, 32, 32, 3), dtype=np.float32))  # 12 % 8 != 0
+    out = disp.run_tiled(lambda x: x * 2.0, tiles, key="double")
+    assert out.shape == tiles.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(tiles) * 2.0, atol=1e-6)
+
+
+def test_dispatcher_merge_fallback(rng):
+    disp = MeshTileDispatcher(make_mesh({"data": 8}))
+    lo = compute_layout(200, 150, 64, 0.25)
+    img = rng.random((150, 200, 3), dtype=np.float32)
+    tiles = extract_tiles(pad_image(jnp.asarray(img), lo), lo)
+    w = layout_weights(lo, kind="ramp")
+    out = disp.merge(tiles, jnp.asarray(w), lo)
+    ref = merge_tiles(tiles, w, lo)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_sharded_training_step(rng):
+    """Full train step sharded dp x sp over the mesh — the dryrun core."""
+    from srs_tpu.models.nets import ESPCN
+    from srs_tpu.models.train import make_optimizer, train_step
+
+    mesh = make_mesh({"data": 4, "space": 2})
+    model = ESPCN(scale=2, features=8)
+    lr_b = jnp.asarray(rng.random((8, 16, 16, 3), dtype=np.float32) * 255)
+    hr_b = jnp.asarray(rng.random((8, 32, 32, 3), dtype=np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), lr_b[:1])
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+    shard = spatial_sharding(mesh)
+    lr_b = jax.device_put(lr_b, shard)
+    hr_b = jax.device_put(hr_b, NamedSharding(mesh, P("data", "space", None, None)))
+    params2, opt2, metrics = train_step(model.apply, params, opt_state, tx, lr_b, hr_b)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))

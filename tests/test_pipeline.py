@@ -1,0 +1,149 @@
+"""End-to-end pipeline tests (CPU, small shapes)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from srs_tpu.pipeline import (
+    PipelineConfig,
+    PipelineResult,
+    SuperResolutionPipeline,
+    _scale_ladder,
+)
+
+
+@pytest.fixture(scope="module")
+def input_png(tmp_path_factory):
+    d = tmp_path_factory.mktemp("inputs")
+    r = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:120, 0:160].astype(np.float32)
+    img = np.stack(
+        [127 + 90 * np.sin(xx / 13), 127 + 90 * np.cos(yy / 11), 127 + 90 * np.sin((xx + yy) / 7)],
+        -1,
+    )
+    img = np.clip(img + r.normal(0, 2, img.shape), 0, 255).astype(np.uint8)
+    p = str(d / "input.png")
+    Image.fromarray(img).save(p)
+    return p
+
+
+def _cfg(**kw):
+    defaults = dict(
+        block_size=64,
+        overlap_ratio=0.2,
+        target_resolution="320x240",
+        provider="bicubic",
+        num_pyramid_levels=4,
+        enable_qa=True,
+        seedream_steps=2,
+        ibp_steps=2,
+    )
+    defaults.update(kw)
+    return PipelineConfig(**defaults)
+
+
+def test_scale_ladder():
+    assert _scale_ladder(1.0) == []
+    assert _scale_ladder(2.0) == [2]
+    assert int(np.prod(_scale_ladder(4.0))) == 4
+    assert int(np.prod(_scale_ladder(9.57))) == 12  # minimal overshoot
+    assert int(np.prod(_scale_ladder(5.0))) == 6
+    for t in (1.5, 3.2, 7.9, 15.0):
+        assert int(np.prod(_scale_ladder(t))) >= t
+
+
+def test_process_end_to_end(input_png, tmp_path):
+    out = str(tmp_path / "out.png")
+    pipe = SuperResolutionPipeline(_cfg())
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    assert result.total_blocks >= 1
+    assert os.path.exists(out)
+    with Image.open(out) as im:
+        assert im.size == (320, 240)
+    # QA report written
+    report_path = out.rsplit(".", 1)[0] + "_qa_report.json"
+    assert os.path.exists(report_path)
+    rep = json.loads(open(report_path).read())
+    assert "psnr" in rep and "niqe" in rep
+    assert result.quality_score is not None
+    assert set(result.stage_times) == {
+        "tiling", "super_resolution", "blending", "quality_assessment", "save",
+    }
+
+
+def test_process_output_quality(input_png, tmp_path):
+    # 2x bicubic of a band-limited image downsampled back must be close
+    out = str(tmp_path / "out.tiff")
+    pipe = SuperResolutionPipeline(_cfg(enable_qa=True))
+    result = pipe.process(input_png, out)
+    assert result.success
+    assert result.quality_report["psnr"] > 30  # downsample-consistency
+
+
+def test_process_quality_provider(input_png, tmp_path):
+    out = str(tmp_path / "outq.png")
+    pipe = SuperResolutionPipeline(_cfg(provider="quality"))
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+
+
+@pytest.mark.parametrize("method", ["weighted", "feather", "gradient_domain"])
+def test_blend_methods(input_png, tmp_path, method):
+    out = str(tmp_path / f"out_{method}.png")
+    pipe = SuperResolutionPipeline(_cfg(blend_method=method, enable_qa=False))
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+
+
+def test_target_size_presets():
+    pipe = SuperResolutionPipeline(_cfg(enable_qa=False))
+    # aspect preserved against 100MP preset
+    tw, th = pipe._calculate_target_size((1280, 720), "100MP")
+    assert abs(tw / th - 1280 / 720) < 0.01
+    assert tw <= 12245 and th <= 8163
+    assert pipe._calculate_target_size((100, 100), "500x500") == (500, 500)
+    # bad string falls back to 100MP scaled to aspect
+    tw2, th2 = pipe._calculate_target_size((1000, 1000), "wat")
+    assert tw2 == th2
+
+
+def test_process_failure_returns_result(tmp_path):
+    pipe = SuperResolutionPipeline(_cfg())
+    result = pipe.process(str(tmp_path / "missing.png"), str(tmp_path / "o.png"))
+    assert isinstance(result, PipelineResult)
+    assert not result.success
+    assert result.error_message
+
+
+def test_roi_commercial_metrics(input_png, tmp_path):
+    out = str(tmp_path / "roi.png")
+    pipe = SuperResolutionPipeline(_cfg())
+    rois = [{"type": "brand", "bbox": [10, 10, 50, 50], "reference_color": (200, 30, 30)}]
+    result = pipe.process(input_png, out, roi_regions=rois)
+    assert result.success
+    assert "commercial_score" in result.quality_report
+    assert "brand_color_delta_e_0" in result.quality_report
+
+
+def test_async_context_manager(input_png, tmp_path):
+    import asyncio
+
+    async def go():
+        async with SuperResolutionPipeline(_cfg(enable_qa=False)) as pipe:
+            return pipe.process(input_png, str(tmp_path / "actx.png"))
+
+    result = asyncio.run(go())
+    assert result.success
+
+
+def test_scheduler_bookkeeping(input_png, tmp_path):
+    pipe = SuperResolutionPipeline(_cfg(enable_qa=False))
+    result = pipe.process(input_png, str(tmp_path / "b.png"))
+    assert result.success
+    stats = pipe.scheduler.get_statistics()
+    assert stats["counters"]["submitted"] == result.total_blocks
+    assert stats["counters"]["completed"] == result.total_blocks
