@@ -38,6 +38,9 @@ def make_input(path: str) -> None:
 
 
 def main() -> None:
+    from srs_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from srs_tpu.pipeline import PipelineConfig, SuperResolutionPipeline
 
     workdir = os.environ.get("SRS_BENCH_DIR", "/tmp/srs_bench")

@@ -1,0 +1,113 @@
+"""Command-line interface.
+
+The reference has no CLI (entry is an asyncio `main()` demo, main.py:444-480,
+plus Windows start scripts for the WebUI); this provides the equivalent
+operational surface: `srs-tpu process`, `srs-tpu bench`, `srs-tpu webui`,
+`srs-tpu info`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_process(args: argparse.Namespace) -> int:
+    from .pipeline import PipelineConfig, SuperResolutionPipeline
+
+    cfg = PipelineConfig(
+        block_size=args.block_size,
+        overlap_ratio=args.overlap,
+        target_resolution=args.target,
+        provider=args.provider,
+        blend_method=args.blend,
+        enable_qa=not args.no_qa,
+        ibp_steps=args.steps,
+    )
+    pipe = SuperResolutionPipeline(cfg)
+    result = pipe.process(args.input, args.output, prompt=args.prompt)
+    if result.success:
+        print(f"OK {result.output_path} ({result.processing_time:.1f}s, "
+              f"{result.total_blocks} tiles)")
+        if result.quality_score is not None:
+            print(f"quality score: {result.quality_score:.1f}/100")
+        for k, v in result.stage_times.items():
+            print(f"  {k}: {v:.2f}s")
+        return 0
+    print(f"FAILED: {result.error_message}", file=sys.stderr)
+    return 1
+
+
+def _cmd_bench(args: argparse.Namespace) -> int:
+    import bench as _b  # repo-root bench
+
+    _b.main()
+    return 0
+
+
+def _cmd_webui(args: argparse.Namespace) -> int:
+    import subprocess
+
+    from .webui import app
+
+    return subprocess.call(
+        [sys.executable, "-m", "streamlit", "run", app.__file__, "--server.port", str(args.port)]
+    )
+
+
+def _cmd_info(args: argparse.Namespace) -> int:
+    import jax
+
+    from . import __version__
+    from .config import SystemConfig
+
+    info = {
+        "version": __version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "config": SystemConfig.from_env().to_dict() if args.config else "use --config",
+    }
+    print(json.dumps(info, indent=2, default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="srs-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("process", help="super-resolve an image")
+    pp.add_argument("input")
+    pp.add_argument("output")
+    pp.add_argument("--target", default="100MP", help="100MP|150MP|200MP|WxH")
+    pp.add_argument("--block-size", type=int, default=512)
+    pp.add_argument("--overlap", type=float, default=0.2)
+    pp.add_argument("--provider", default="quality",
+                    choices=["quality", "fast", "hybrid", "bicubic"])
+    pp.add_argument("--blend", default="laplacian",
+                    choices=["laplacian", "weighted", "feather", "gradient_domain"])
+    pp.add_argument("--steps", type=int, default=8, help="back-projection steps")
+    pp.add_argument("--prompt", default=None)
+    pp.add_argument("--no-qa", action="store_true")
+    pp.set_defaults(fn=_cmd_process)
+
+    pb = sub.add_parser("bench", help="run the 720p->100MP benchmark")
+    pb.set_defaults(fn=_cmd_bench)
+
+    pw = sub.add_parser("webui", help="launch the Streamlit UI")
+    pw.add_argument("--port", type=int, default=8501)
+    pw.set_defaults(fn=_cmd_webui)
+
+    pi = sub.add_parser("info", help="environment and config info")
+    pi.add_argument("--config", action="store_true")
+    pi.set_defaults(fn=_cmd_info)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,15 +37,32 @@ __all__ = ["ESPCN", "EDSR", "depth_to_space", "back_project"]
 def depth_to_space(x: jax.Array, scale: int) -> jax.Array:
     """Pixel shuffle: [N, H, W, C*s^2] -> [N, H*s, W*s, C].
 
-    Implemented as one 5-D transpose whose minor dimension stays large
-    (``s*c``) instead of the naive 6-D einops rearrange — on TPU the 6-D
-    form materializes temps with tiny minor dims (s, c) that the (8, 128)
-    tiling pads 2-3x, which at print-grade tile sizes is the HBM peak.
-    Channel decomposition (s1, s2, c) matches the einops order.
+    Layout-safe TPU implementation. The naive einops rearrange (and even a
+    single 5-D transpose) materializes temps whose minor dims are the phase
+    or channel counts; TPU (8, 128) tiling pads those 10-80x at print-grade
+    sizes. Two regimes:
+
+    - small output channels (< 8, i.e. the final RGB stage): interleave
+      phases spatially with `lax.pad` interior padding — s^2 channel
+      slices summed into their strided positions, no transpose;
+    - large channels: one 5-D transpose whose minor dim is s*c (>= 128),
+      which tiles cleanly.
+
+    Channel decomposition (s1, s2, c) matches the einops convention.
     """
     n, h, w, cc = x.shape
     s = scale
     c = cc // (s * s)
+    if c < 8:
+        zero = jnp.zeros((), x.dtype)
+        acc = None
+        for i in range(s):
+            for j in range(s):
+                part = jax.lax.slice_in_dim(x, (i * s + j) * c, (i * s + j + 1) * c, axis=3)
+                cfg = [(0, 0, 0), (i, s - 1 - i, s - 1), (j, s - 1 - j, s - 1), (0, 0, 0)]
+                stuffed = jax.lax.pad(part, zero, cfg)
+                acc = stuffed if acc is None else acc + stuffed
+        return acc
     x = x.reshape(n, h, w, s, s * c)
     x = x.transpose(0, 1, 3, 2, 4)  # n, h, s1, w, s2*c
     x = x.reshape(n, h * s, w * s, c)
@@ -106,20 +123,18 @@ class ESPCN(nn.Module):
                     name=f"up_{i}",
                 )(h)
                 h = nn.relu(depth_to_space(h, f))
-            # Final residual stage as a zero-init transposed conv: a
-            # conv + 3-channel pixel shuffle forces a transpose whose minor
-            # dim is s^2*channels (= 9..12) — TPU tiling pads that 10-40x
-            # at print-grade sizes. ConvTranspose is the fused equivalent
-            # with compiler-chosen layouts.
+            # Final residual stage in pre-shuffle space (zero-init keeps
+            # the exact bicubic floor); depth_to_space takes the
+            # layout-safe lax.pad path for 3-channel outputs.
             f = factors[-1]
-            r = nn.ConvTranspose(
-                self.channels,
-                (2 * f, 2 * f),
-                strides=(f, f),
+            r = nn.Conv(
+                self.channels * f * f,
+                (3, 3),
                 dtype=self.dtype,
                 kernel_init=nn.initializers.zeros,
                 name="conv_out",
             )(h)
+            r = depth_to_space(r, f)
         else:
             r = nn.Conv(
                 self.channels, (3, 3), dtype=self.dtype,
@@ -171,19 +186,19 @@ class EDSR(nn.Module):
                     self.features * f * f, (3, 3), dtype=self.dtype, name=f"up_conv_{i}"
                 )(h)
                 h = depth_to_space(h, f)
-            # Final residual stage as a zero-init transposed conv (see
-            # ESPCN.conv_out): runs at 1/f^2 of the output resolution and
-            # avoids the tiny-minor-dim shuffle transpose the TPU tiling
-            # pads 10-40x. Zero init keeps the exact bicubic floor.
+            # Final residual stage in pre-shuffle space (see ESPCN): the
+            # tail conv runs at 1/f^2 of the output resolution, zero-init
+            # keeps the exact bicubic floor, and the 3-channel shuffle uses
+            # the layout-safe lax.pad path.
             f = factors[-1]
-            r = nn.ConvTranspose(
-                self.channels,
-                (2 * f, 2 * f),
-                strides=(f, f),
+            r = nn.Conv(
+                self.channels * f * f,
+                (3, 3),
                 dtype=self.dtype,
                 kernel_init=nn.initializers.zeros,
                 name="tail",
             )(h)
+            r = depth_to_space(r, f)
         else:
             r = nn.Conv(
                 self.channels,

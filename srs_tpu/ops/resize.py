@@ -61,10 +61,49 @@ def _axis_plan(src_n: int, dst_n: int) -> Tuple[np.ndarray, np.ndarray]:
     return idx, w.astype(np.float32)
 
 
+def _down_axis_int(x: jax.Array, axis: int, s: int) -> jax.Array:
+    """Integer-factor bicubic decimation via 4 strided slices (no gather).
+
+    For scale 1/s the source coordinate (i+0.5)s - 0.5 = s*i + (s-1)/2 has
+    a *constant* fractional part, so there is a single polyphase phase:
+    out[i] = sum_t w[t] * x[s*i + floor((s-1)/2) - 1 + t]. Gather-free,
+    which matters on TPU where big gathers force channel-minor layouts.
+    """
+    n = x.shape[axis]
+    m = n // s
+    off = (s - 1) / 2.0
+    base = int(np.floor(off))
+    f = off - base
+    w = cubic_weights(np.array([f]))[0]
+    # tap source indices: s*i + base - 1 + t, clamped via edge padding
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (1, 2)  # covers t-1 at i=0 and t+2 at i=m-1
+    xp = jnp.pad(x, pads, mode="edge")
+    acc = None
+    for t in range(4):
+        start = base + t  # (-1 shifted by the 1-left pad)
+        sl = _slice_take(xp, axis, start, m, s)
+        term = sl * np.float32(w[t])
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _slice_take(x: jax.Array, axis: int, start: int, count: int, stride: int) -> jax.Array:
+    starts = [0] * x.ndim
+    limits = list(x.shape)
+    strides = [1] * x.ndim
+    starts[axis] = start
+    limits[axis] = start + (count - 1) * stride + 1
+    strides[axis] = stride
+    return jax.lax.slice(x, starts, limits, strides)
+
+
 def _resize_axis(x: jax.Array, axis: int, dst_n: int) -> jax.Array:
     src_n = x.shape[axis]
     if src_n == dst_n:
         return x
+    if src_n % dst_n == 0:
+        return _down_axis_int(x, axis, src_n // dst_n)
     idx, w = _axis_plan(src_n, dst_n)
     taps = jnp.take(x, jnp.asarray(idx.reshape(-1)), axis=axis)
     new_shape = list(x.shape)

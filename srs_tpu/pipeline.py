@@ -111,6 +111,9 @@ class SuperResolutionPipeline:
     """tile -> SR -> blend -> assess -> save."""
 
     def __init__(self, config: Optional[PipelineConfig] = None):
+        from .utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config or PipelineConfig()
         sys_cfg = SystemConfig.from_env()
         # Stage modules constructed eagerly (reference: main.py:115-128).
