@@ -1,0 +1,194 @@
+// Native IO backend: striped TIFF writer + fast content hash.
+//
+// Role (SURVEY build mandate: native runtime around the XLA compute path):
+// the reference saves its print-grade output via PIL with LZW TIFF
+// (reference: main.py:399-400). PIL cannot write multi-channel 16-bit
+// TIFF and re-buffers the whole image; this backend streams the canvas to
+// disk in row strips with zlib (Adobe Deflate, TIFF compression tag 8)
+// and supports 8- and 16-bit RGB — the path print workflows need.
+//
+// Exposed C ABI (ctypes, see srs_tpu/io/native.py):
+//   int64_t srs_write_tiff(const char* path, const uint8_t* data,
+//                          int64_t h, int64_t w, int64_t channels,
+//                          int64_t bit_depth, int64_t compress);
+//   uint64_t srs_hash64(const uint8_t* data, int64_t len);
+//
+// Build: g++ -O3 -shared -fPIC -o libsrstiff.so tiffio.cpp -lz
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+// Little-endian scalar write helpers.
+template <typename T>
+void put(std::vector<uint8_t>& buf, T v) {
+  for (size_t i = 0; i < sizeof(T); ++i) buf.push_back((v >> (8 * i)) & 0xff);
+}
+
+struct IfdEntry {
+  uint16_t tag;
+  uint16_t type;  // 3 = SHORT, 4 = LONG
+  uint32_t count;
+  uint32_t value;
+};
+
+void put_entry(std::vector<uint8_t>& buf, const IfdEntry& e) {
+  put<uint16_t>(buf, e.tag);
+  put<uint16_t>(buf, e.type);
+  put<uint32_t>(buf, e.count);
+  if (e.type == 3 && e.count == 1) {
+    put<uint16_t>(buf, static_cast<uint16_t>(e.value));
+    put<uint16_t>(buf, 0);
+  } else {
+    put<uint32_t>(buf, e.value);
+  }
+}
+
+bool deflate_strip(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+  uLongf bound = compressBound(n);
+  out.resize(bound);
+  if (compress2(out.data(), &bound, src, n, 6) != Z_OK) return false;
+  out.resize(bound);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns bytes written, or a negative error code.
+int64_t srs_write_tiff(const char* path, const uint8_t* data, int64_t h,
+                       int64_t w, int64_t channels, int64_t bit_depth,
+                       int64_t compress) {
+  if (h <= 0 || w <= 0 || channels < 1 || channels > 4) return -1;
+  if (bit_depth != 8 && bit_depth != 16) return -2;
+  const int64_t bytes_per_px = channels * bit_depth / 8;
+  const int64_t row_bytes = w * bytes_per_px;
+  // ~1 MB strips.
+  int64_t rows_per_strip = (1 << 20) / row_bytes;
+  if (rows_per_strip < 1) rows_per_strip = 1;
+  if (rows_per_strip > h) rows_per_strip = h;
+  const int64_t num_strips = (h + rows_per_strip - 1) / rows_per_strip;
+
+  // Compress (or pass through) strips first to know their sizes.
+  std::vector<std::vector<uint8_t>> strips(num_strips);
+  std::vector<uint32_t> strip_sizes(num_strips);
+  for (int64_t s = 0; s < num_strips; ++s) {
+    const int64_t r0 = s * rows_per_strip;
+    const int64_t nrows = (r0 + rows_per_strip <= h) ? rows_per_strip : h - r0;
+    const uint8_t* src = data + r0 * row_bytes;
+    const size_t n = static_cast<size_t>(nrows * row_bytes);
+    if (compress) {
+      if (!deflate_strip(src, n, strips[s])) return -3;
+    } else {
+      strips[s].assign(src, src + n);
+    }
+    strip_sizes[s] = static_cast<uint32_t>(strips[s].size());
+  }
+
+  std::vector<uint8_t> head;
+  // TIFF header: II, 42, IFD offset (patched later).
+  head.push_back('I');
+  head.push_back('I');
+  put<uint16_t>(head, 42);
+  const size_t ifd_off_pos = head.size();
+  put<uint32_t>(head, 0);  // placeholder
+
+  // External arrays (BitsPerSample when channels > 2, strip offsets/sizes).
+  // Layout after the 8-byte header: [bits array][strip offsets][strip sizes]
+  // [strip data...][IFD].
+  uint32_t cursor = 8;
+  const uint32_t bits_off = cursor;
+  const bool needs_bits_array = channels > 2;
+  if (needs_bits_array) cursor += 2 * channels;
+  const uint32_t offsets_off = cursor;
+  const bool arrays_external = num_strips > 1;
+  if (arrays_external) cursor += 4 * num_strips;  // offsets
+  const uint32_t sizes_off = cursor;
+  if (arrays_external) cursor += 4 * num_strips;  // sizes
+  const uint32_t data_off = cursor;
+
+  std::vector<uint32_t> strip_offsets(num_strips);
+  {
+    uint32_t o = data_off;
+    for (int64_t s = 0; s < num_strips; ++s) {
+      strip_offsets[s] = o;
+      o += strip_sizes[s];
+    }
+    cursor = o;
+  }
+  const uint32_t ifd_off = cursor;
+
+  // Patch IFD offset in header.
+  head[ifd_off_pos + 0] = ifd_off & 0xff;
+  head[ifd_off_pos + 1] = (ifd_off >> 8) & 0xff;
+  head[ifd_off_pos + 2] = (ifd_off >> 16) & 0xff;
+  head[ifd_off_pos + 3] = (ifd_off >> 24) & 0xff;
+
+  std::vector<uint8_t> arrays;
+  if (needs_bits_array)
+    for (int64_t c = 0; c < channels; ++c)
+      put<uint16_t>(arrays, static_cast<uint16_t>(bit_depth));
+  if (arrays_external) {
+    for (int64_t s = 0; s < num_strips; ++s) put<uint32_t>(arrays, strip_offsets[s]);
+    for (int64_t s = 0; s < num_strips; ++s) put<uint32_t>(arrays, strip_sizes[s]);
+  }
+
+  // IFD.
+  std::vector<IfdEntry> entries = {
+      {256, 4, 1, static_cast<uint32_t>(w)},                      // ImageWidth
+      {257, 4, 1, static_cast<uint32_t>(h)},                      // ImageLength
+      {258, 3, static_cast<uint32_t>(channels),
+       needs_bits_array ? bits_off : static_cast<uint32_t>(bit_depth)},
+      {259, 3, 1, static_cast<uint32_t>(compress ? 8 : 1)},       // Compression
+      {262, 3, 1, channels >= 3 ? 2u : 1u},                       // Photometric
+      {273, 4, static_cast<uint32_t>(num_strips),
+       arrays_external ? offsets_off : strip_offsets[0]},         // StripOffsets
+      {277, 3, 1, static_cast<uint32_t>(channels)},               // SamplesPerPixel
+      {278, 4, 1, static_cast<uint32_t>(rows_per_strip)},         // RowsPerStrip
+      {279, 4, static_cast<uint32_t>(num_strips),
+       arrays_external ? sizes_off : strip_sizes[0]},             // StripByteCounts
+      {284, 3, 1, 1},                                             // PlanarConfig
+  };
+  std::vector<uint8_t> ifd;
+  put<uint16_t>(ifd, static_cast<uint16_t>(entries.size()));
+  for (const auto& e : entries) put_entry(ifd, e);
+  put<uint32_t>(ifd, 0);  // next IFD
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -4;
+  int64_t total = 0;
+  auto write_all = [&](const uint8_t* p, size_t n) -> bool {
+    if (n == 0) return true;
+    if (std::fwrite(p, 1, n, f) != n) return false;
+    total += static_cast<int64_t>(n);
+    return true;
+  };
+  bool ok = write_all(head.data(), head.size()) &&
+            write_all(arrays.data(), arrays.size());
+  for (int64_t s = 0; ok && s < num_strips; ++s)
+    ok = write_all(strips[s].data(), strips[s].size());
+  if (ok) ok = write_all(ifd.data(), ifd.size());
+  std::fclose(f);
+  return ok ? total : -5;
+}
+
+// FNV-1a 64-bit with 8-byte stride tail handling — content addressing for
+// the tile store (replaces md5 file hashing, reference tiling:506-520,
+// where cryptographic strength is unnecessary).
+uint64_t srs_hash64(const uint8_t* data, int64_t len) {
+  uint64_t h = 1469598103934665603ULL;
+  for (int64_t i = 0; i < len; ++i) {
+    h ^= data[i];
+    h *= 1099511628211ULL;
+  }
+  return h;
+}
+
+}  // extern "C"

@@ -34,16 +34,26 @@ def save_image(
     path: str,
     image: np.ndarray,
     quality: int = 95,
+    bit_depth: int = 8,
 ) -> str:
-    """Save by extension: .tiff/.tif -> LZW TIFF, .png -> PNG, else JPEG
-    (reference: main.py:399-404). 8-bit RGB; PIL has no multi-channel
-    16-bit mode — true 16-bit TIFF is the native IO backend's job."""
+    """Save by extension: .tiff/.tif -> compressed TIFF, .png -> PNG, else
+    JPEG (reference: main.py:399-404). TIFF goes through the native C++
+    backend when available (streaming striped deflate, true 16-bit RGB —
+    PIL has no multi-channel 16-bit mode), PIL LZW otherwise."""
     if not _HAS_PIL:
         raise RuntimeError("PIL unavailable")
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    lower = path.lower()
+    if lower.endswith((".tiff", ".tif")):
+        try:
+            from .native import write_tiff
+
+            write_tiff(path, np.asarray(image), bit_depth=bit_depth)
+            return path
+        except (ImportError, OSError):
+            pass
     arr = np.clip(np.asarray(image), 0, 255).astype(np.uint8)
     im = Image.fromarray(arr)
-    lower = path.lower()
     if lower.endswith((".tiff", ".tif")):
         im.save(path, format="TIFF", compression="tiff_lzw")
     elif lower.endswith(".png"):

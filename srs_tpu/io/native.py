@@ -1,0 +1,117 @@
+"""ctypes bindings for the native IO backend (native/tiffio.cpp).
+
+Builds the shared library on first use (g++ is in the image; no pybind11
+needed) and exposes:
+
+- :func:`write_tiff` — striped deflate TIFF, 8/16-bit RGB (16-bit is
+  unavailable through PIL for multi-channel images);
+- :func:`content_hash` — FNV-1a 64-bit content addressing.
+
+Falls back cleanly (raises ImportError from :func:`load`) when no
+compiler is present; callers gate on :func:`available`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LIB_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_LIB_DIR, "libsrstiff.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-C", _LIB_DIR, "libsrstiff.so"],
+        check=True,
+        capture_output=True,
+    )
+
+
+def load() -> ctypes.CDLL:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _load_failed:
+            raise ImportError("native tiff backend unavailable")
+        try:
+            if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH)
+                < os.path.getmtime(os.path.join(_LIB_DIR, "tiffio.cpp"))
+            ):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.srs_write_tiff.restype = ctypes.c_int64
+            lib.srs_write_tiff.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            lib.srs_hash64.restype = ctypes.c_uint64
+            lib.srs_hash64.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            _lib = lib
+            return lib
+        except Exception as e:  # noqa: BLE001
+            _load_failed = True
+            raise ImportError(f"native tiff backend unavailable: {e}") from e
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except ImportError:
+        return False
+
+
+def write_tiff(
+    path: str,
+    image: np.ndarray,
+    bit_depth: int = 8,
+    compress: bool = True,
+) -> int:
+    """Write (H, W, C) image as striped TIFF. Input float [0,255] or
+    uint8/uint16; 16-bit output rescales from the 255 domain."""
+    lib = load()
+    arr = np.asarray(image)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if bit_depth == 16:
+        if arr.dtype != np.uint16:
+            arr = (np.clip(arr.astype(np.float64), 0, 255) / 255.0 * 65535.0 + 0.5).astype(
+                np.uint16
+            )
+    else:
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+    arr = np.ascontiguousarray(arr)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    h, w, c = arr.shape
+    rc = lib.srs_write_tiff(
+        path.encode(), arr.ctypes.data_as(ctypes.c_void_p), h, w, c, bit_depth,
+        1 if compress else 0,
+    )
+    if rc < 0:
+        raise IOError(f"srs_write_tiff failed with code {rc}")
+    return int(rc)
+
+
+def content_hash(data: np.ndarray | bytes) -> str:
+    lib = load()
+    if isinstance(data, np.ndarray):
+        data = np.ascontiguousarray(data).tobytes()
+    h = lib.srs_hash64(data, len(data))
+    return f"{h:016x}"
