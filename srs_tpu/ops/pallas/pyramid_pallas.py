@@ -1,0 +1,105 @@
+"""Pallas TPU kernels for the pyramid hot path.
+
+The XLA path (srs_tpu.ops.pyramid) lowers pyrDown to two shifted-add
+passes (H then V) with an HBM-resident intermediate. This kernel computes
+the whole pyrDown as two MXU matmuls per plane:
+
+    out = D_v @ X @ D_w^T
+
+where D_v [H/2, H] and D_w [W/2, W] are banded decimation matrices that
+fold the 5-tap binomial blur, the stride-2 sampling AND the REFLECT_101
+border handling into constant operands (built once per shape in numpy).
+One read of X, one write of the 4x-smaller output, all arithmetic on the
+systolic array — the VPU formulation needs strided slices that Mosaic
+cannot lower, and the MXU has idle capacity in this bandwidth-bound stage
+anyway. Numerics match cv2 (same tap order along each band; interleaved
+zeros contribute exactly 0).
+
+Operates on [B, H, W] planes (channels folded into B by the wrapper) so
+the lane dimension is W.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pyr_down_pallas", "pyr_down_fused", "decimation_matrix"]
+
+_G = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _reflect101(j: int, n: int) -> int:
+    if n == 1:
+        return 0
+    period = 2 * (n - 1)
+    j = abs(j) % period
+    return period - j if j >= n else j
+
+
+@lru_cache(maxsize=32)
+def decimation_matrix(n: int) -> np.ndarray:
+    """[ceil(n/2), n] matrix: 5-tap blur + even-phase decimate + REFLECT_101."""
+    m = (n + 1) // 2
+    d = np.zeros((m, n), np.float32)
+    for i in range(m):
+        for k, g in enumerate(_G):
+            j = _reflect101(2 * i + k - 2, n)
+            d[i, j] += np.float32(g)
+    return d
+
+
+def _pyr_down_kernel(in_ref, dv_ref, dw_ref, out_ref):
+    x = in_ref[0]  # [H, W]
+    tmp = jnp.dot(dv_ref[:], x, preferred_element_type=jnp.float32)  # [m_h, W]
+    out_ref[0] = jnp.dot(tmp, dw_ref[:].T, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pyr_down_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Fused pyrDown on [B, H, W] float32 planes (cv2 parity)."""
+    b, h, w = x.shape
+    m_h, m_w = (h + 1) // 2, (w + 1) // 2
+    dv = jnp.asarray(decimation_matrix(h))
+    dw = jnp.asarray(decimation_matrix(w))
+    return pl.pallas_call(
+        _pyr_down_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_h, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_w, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m_h, m_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m_h, m_w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (m_h * h * w + m_h * w * m_w),
+            bytes_accessed=b * (h * w + m_h * m_w) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.float32), dv, dw)
+
+
+def pyr_down_fused(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """pyrDown on (..., H, W, C): channels folded into the grid so the
+    kernel's lane dimension is W. Falls back to the XLA path when the
+    plane + decimation matrices exceed a safe VMEM budget."""
+    from ..pyramid import pyr_down
+
+    *lead, h, w, c = x.shape
+    m_h_, m_w_ = (h + 1) // 2, (w + 1) // 2
+    # double-buffered in/out blocks + resident matrices + matmul temp
+    vmem_bytes = (2 * (h * w + m_h_ * m_w_) + m_h_ * h + m_w_ * w + m_h_ * w) * 4
+    if vmem_bytes > 13 * 1024 * 1024 or min(h, w) < 8:
+        return pyr_down(x)
+    planes = jnp.moveaxis(x, -1, 0).reshape(-1, h, w).astype(jnp.float32)
+    out = pyr_down_pallas(planes, interpret=interpret)
+    m_h, m_w = (h + 1) // 2, (w + 1) // 2
+    out = out.reshape(c, *lead, m_h, m_w)
+    return jnp.moveaxis(out, 0, -1)
