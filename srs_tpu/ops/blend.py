@@ -108,6 +108,73 @@ def _canvas_pyramid_blend(
     return collapse_laplacian_pyramid(canvas_lap)
 
 
+@partial(jax.jit, static_argnames=("levels",))
+def _build_pyramids(tiles: jax.Array, weights: jax.Array, levels: int):
+    lap = build_laplacian_pyramid(tiles.astype(jnp.float32), levels)
+    wpyr = build_gaussian_pyramid(weights[..., None].astype(jnp.float32), levels)
+    return tuple(lap), tuple(wpyr)
+
+
+@partial(jax.jit, static_argnames=("ch", "cw"))
+def _accumulate_level(
+    lv: jax.Array, wv: jax.Array, pos: jax.Array, ch: int, cw: int
+) -> jax.Array:
+    tb_h, tb_w, c = lv.shape[1], lv.shape[2], lv.shape[3]
+    num = jnp.zeros((ch, cw, c), jnp.float32)
+    den = jnp.zeros((ch, cw, 1), jnp.float32)
+
+    def step(carry, inp):
+        num, den = carry
+        l, w, p = inp
+        npatch = jax.lax.dynamic_slice(num, (p[0], p[1], 0), (tb_h, tb_w, c))
+        num2 = jax.lax.dynamic_update_slice(num, npatch + l * w, (p[0], p[1], 0))
+        dpatch = jax.lax.dynamic_slice(den, (p[0], p[1], 0), (tb_h, tb_w, 1))
+        den2 = jax.lax.dynamic_update_slice(den, dpatch + w, (p[0], p[1], 0))
+        return (num2, den2), None
+
+    (num, den), _ = jax.lax.scan(step, (num, den), (lv, wv, pos))
+    return num / jnp.maximum(den, 1e-8)
+
+
+@partial(jax.jit, static_argnames=("hw",))
+def _collapse_step(lap_i: jax.Array, coarser: jax.Array, hw: Tuple[int, int]) -> jax.Array:
+    return lap_i + pyr_up(coarser, hw)
+
+
+def _canvas_pyramid_blend_staged(
+    tiles: jax.Array,
+    weights: jax.Array,
+    positions: jax.Array,
+    levels: int,
+    padded_h: int,
+    padded_w: int,
+) -> jax.Array:
+    """The canvas-pyramid blend split into per-level programs.
+
+    At 100-200 MP one fused program is too large for the TPU compiler
+    (observed compile-helper OOM); staging keeps every compiled unit small
+    at the cost of a few extra HBM round trips. Math identical to
+    :func:`_canvas_pyramid_blend`.
+    """
+    lap, wpyr = _build_pyramids(tiles, weights, levels)
+    canvas_lap = []
+    ch, cw = padded_h, padded_w
+    for i, (lv, wv) in enumerate(zip(lap, wpyr)):
+        pos_i = positions // (2**i)
+        canvas_lap.append(_accumulate_level(lv, wv, pos_i, ch, cw))
+        ch, cw = (ch + 1) // 2, (cw + 1) // 2
+    x = canvas_lap[-1]
+    for i in range(len(canvas_lap) - 2, -1, -1):
+        hw = (canvas_lap[i].shape[0], canvas_lap[i].shape[1])
+        x = _collapse_step(canvas_lap[i], x, hw)
+    return x
+
+
+# One fused program is faster for small canvases; beyond this pixel count
+# the staged path keeps compile sizes sane.
+_FUSED_BLEND_MAX_PIXELS = 16_000_000
+
+
 def laplacian_fusion_tiles(
     tiles: jax.Array,
     weights: jax.Array | np.ndarray,
@@ -151,7 +218,12 @@ def laplacian_fusion_tiles(
             # negligible weight (SURVEY §7 hard part #3).
             overlap_cap = max(1, int(np.log2(max(layout.overlap, 4))) - 1)
             levels = max(1, min(levels, align + 1, overlap_cap))
-        canvas = _canvas_pyramid_blend(
+        blend_fn = (
+            _canvas_pyramid_blend
+            if layout.padded_h * layout.padded_w <= _FUSED_BLEND_MAX_PIXELS
+            else _canvas_pyramid_blend_staged
+        )
+        canvas = blend_fn(
             tiles, weights, positions, levels, layout.padded_h, layout.padded_w
         )
     if clip_range is not None:

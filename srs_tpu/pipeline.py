@@ -63,6 +63,7 @@ class PipelineConfig:
     qa_device: str = "tpu"
     provider: str = "quality"  # quality | fast | hybrid | bicubic
     ibp_steps: int = 8  # back-projection refinement steps on the tile batch
+    content_aware: bool = False  # seam placement avoids faces/text/saliency
     volc_ak: str = ""
     volc_sk: str = ""
     volc_region: str = ""
@@ -212,23 +213,46 @@ class SuperResolutionPipeline:
             outs.append(cur)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    def _blend(self, up_tiles: jnp.ndarray, out_layout) -> jnp.ndarray:
+    def _blend_weights(self, out_layout, kind: str, image: Optional[np.ndarray],
+                       net_scale: int, weight_type: str = "cosine"):
+        if self.config.content_aware and image is not None:
+            try:
+                from .tiling.content import ContentAnalyzer
+                from .tiling.content_layout import content_aware_weights
+
+                zone = ContentAnalyzer().create_forbidden_zone_map(image)
+                zone_up = np.repeat(np.repeat(zone, net_scale, axis=0), net_scale, axis=1)
+                pad_h = out_layout.padded_h - zone_up.shape[0]
+                pad_w = out_layout.padded_w - zone_up.shape[1]
+                zone_up = np.pad(zone_up, ((0, max(0, pad_h)), (0, max(0, pad_w))))
+                zone_up = zone_up[: out_layout.padded_h, : out_layout.padded_w]
+                return content_aware_weights(out_layout, zone_up)
+            except Exception:
+                logger.warning("content-aware weighting failed; using %s", kind)
+        if kind == "distance":
+            return layout_weights(out_layout, kind="distance", weight_type=weight_type)
+        return layout_weights(out_layout, kind="ramp")
+
+    def _blend(self, up_tiles: jnp.ndarray, out_layout,
+               image: Optional[np.ndarray] = None, net_scale: int = 1) -> jnp.ndarray:
         method = self.config.blend_method
         if method in ("laplacian", "multi_band"):
+            kind = "distance" if method == "multi_band" else "ramp"
             wt = "sigmoid" if method == "multi_band" else "cosine"
-            weights = layout_weights(out_layout, kind="ramp") if wt == "cosine" else layout_weights(out_layout, kind="distance", weight_type=wt)
+            weights = self._blend_weights(out_layout, kind, image, net_scale, wt)
             return B.laplacian_fusion_tiles(
                 up_tiles, weights, out_layout, levels=self.config.num_pyramid_levels
             )
         if method in ("weighted", "weighted_average", "feather"):
             kind = "ramp" if method != "feather" else "distance"
             return B.weighted_fusion_tiles(
-                up_tiles, layout_weights(out_layout, kind=kind), out_layout,
-                clip_range=(0, 255),
+                up_tiles, self._blend_weights(out_layout, kind, image, net_scale),
+                out_layout, clip_range=(0, 255),
             )
         if method in ("gradient", "gradient_domain", "poisson"):
             return B.gradient_domain_fusion_tiles(
-                up_tiles, layout_weights(out_layout, kind="ramp"), out_layout
+                up_tiles, self._blend_weights(out_layout, "ramp", image, net_scale),
+                out_layout,
             )
         raise ValueError(f"unknown blend method {method!r}")
 
@@ -319,7 +343,7 @@ class SuperResolutionPipeline:
             # ---- Stage 3: blending ----
             t0 = time.time()
             out_layout = layout.scaled(net_scale)
-            canvas = self._blend(up_tiles, out_layout)
+            canvas = self._blend(up_tiles, out_layout, image=image, net_scale=net_scale)
             fused = unpad_image(canvas, out_layout)
             # exact target size (aspect preserved by construction)
             if (fused.shape[0], fused.shape[1]) != (th, tw):
@@ -351,7 +375,10 @@ class SuperResolutionPipeline:
 
             # ---- Stage 5: save ----
             t0 = time.time()
-            fused_np = np.asarray(fused)
+            # Quantize on device: the host link runs ~30 MB/s through the
+            # tunnel, so ship 1 byte/px instead of 4.
+            fused_u8 = jnp.clip(jnp.round(fused), 0, 255).astype(jnp.uint8)
+            fused_np = np.asarray(fused_u8)
             save_image(output_path, fused_np)
             if quality_report:
                 report_path = output_path.rsplit(".", 1)[0] + "_qa_report.json"

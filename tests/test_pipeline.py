@@ -147,3 +147,11 @@ def test_scheduler_bookkeeping(input_png, tmp_path):
     stats = pipe.scheduler.get_statistics()
     assert stats["counters"]["submitted"] == result.total_blocks
     assert stats["counters"]["completed"] == result.total_blocks
+
+
+def test_content_aware_pipeline(input_png, tmp_path):
+    out = str(tmp_path / "ca.png")
+    pipe = SuperResolutionPipeline(_cfg(content_aware=True, enable_qa=False))
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    assert os.path.exists(out)
