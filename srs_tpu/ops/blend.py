@@ -35,6 +35,7 @@ from .pyramid import (
     build_gaussian_pyramid,
     build_laplacian_pyramid,
     collapse_laplacian_pyramid,
+    pyr_up,
 )
 from .tiles import merge_tiles
 
@@ -170,6 +171,93 @@ def _canvas_pyramid_blend_staged(
     return x
 
 
+@partial(jax.jit, static_argnames=("levels",), donate_argnums=(0,))
+def _build_gauss(tiles: jax.Array, levels: int):
+    return tuple(build_gaussian_pyramid(tiles.astype(jnp.float32), levels))
+
+
+@partial(jax.jit, static_argnames=("ch", "cw", "is_last"), donate_argnums=(0,))
+def _accumulate_level_sep(
+    g_i: jax.Array,
+    g_next: jax.Array,
+    wy: jax.Array,
+    wx: jax.Array,
+    pos: jax.Array,
+    ch: int,
+    cw: int,
+    is_last: bool,
+) -> jax.Array:
+    """One canvas-pyramid level with on-the-fly Laplacian + separable
+    weights: lap = G_i - pyrUp(G_{i+1}) computed inside, per-tile weight
+    synthesized as outer(wy_t, wx_t) in the scan body (never a dense
+    [N, B, B] array in HBM)."""
+    tb_h, tb_w, c = g_i.shape[1], g_i.shape[2], g_i.shape[3]
+    lap = g_i if is_last else g_i - pyr_up(g_next, (tb_h, tb_w))
+    num = jnp.zeros((ch, cw, c), jnp.float32)
+    den = jnp.zeros((ch, cw, 1), jnp.float32)
+
+    def step(carry, inp):
+        num, den = carry
+        l, py, px, p = inp
+        w = py[:, None, None] * px[None, :, None]  # [h, w, 1]
+        npatch = jax.lax.dynamic_slice(num, (p[0], p[1], 0), (tb_h, tb_w, c))
+        num2 = jax.lax.dynamic_update_slice(num, npatch + l * w, (p[0], p[1], 0))
+        dpatch = jax.lax.dynamic_slice(den, (p[0], p[1], 0), (tb_h, tb_w, 1))
+        den2 = jax.lax.dynamic_update_slice(den, dpatch + w, (p[0], p[1], 0))
+        return (num2, den2), None
+
+    (num, den), _ = jax.lax.scan(step, (num, den), (lap, wy, wx, pos))
+    return num / jnp.maximum(den, 1e-8)
+
+
+def _canvas_pyramid_blend_profiles(
+    tiles: jax.Array,
+    wy: np.ndarray,
+    wx: np.ndarray,
+    positions: jax.Array,
+    levels: int,
+    padded_h: int,
+    padded_w: int,
+) -> jax.Array:
+    """HBM-lean canvas-pyramid blend for separable weights.
+
+    vs the dense staged path: the tile batch is donated into its Gaussian
+    pyramid, Laplacian levels are formed inside each per-level program
+    (never all materialized), and weight pyramids live as [N, L] host
+    vectors (1-D pyrDown of the profiles — exact, since the binomial
+    kernel is separable). Peak HBM ~ Gauss pyramid (4/3 x batch) + one
+    canvas level.
+    """
+    from .weights import profile_pyramid
+
+    gauss = _build_gauss(tiles, levels)
+    n_lv = len(gauss)
+    py = profile_pyramid(wy, n_lv)
+    px = profile_pyramid(wx, n_lv)
+    canvas_lap = []
+    ch, cw = padded_h, padded_w
+    gauss = list(gauss)
+    for i in range(n_lv):
+        pos_i = positions // (2**i)
+        is_last = i == n_lv - 1
+        # never alias the donated g_i as g_next (unused when is_last)
+        g_next = gauss[i + 1] if not is_last else jnp.zeros((1, 1, 1, tiles.shape[-1]), jnp.float32)
+        canvas_lap.append(
+            _accumulate_level_sep(
+                gauss[i], g_next, jnp.asarray(py[i]), jnp.asarray(px[i]),
+                pos_i, ch, cw, is_last,
+            )
+        )
+        gauss[i] = None  # donated/consumed
+        ch, cw = (ch + 1) // 2, (cw + 1) // 2
+    x = canvas_lap[-1]
+    for i in range(len(canvas_lap) - 2, -1, -1):
+        hw = (canvas_lap[i].shape[0], canvas_lap[i].shape[1])
+        x = _collapse_step(canvas_lap[i], x, hw)
+        canvas_lap[i] = None
+    return x
+
+
 # One fused program is faster for small canvases; beyond this pixel count
 # the staged path keeps compile sizes sane.
 _FUSED_BLEND_MAX_PIXELS = 16_000_000
@@ -183,6 +271,7 @@ def laplacian_fusion_tiles(
     positions: jax.Array | None = None,
     clip_range: Optional[Tuple[float, float]] = (0.0, 255.0),
     mode: str = "canvas",
+    weight_profiles: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> jax.Array:
     """Burt-Adelson multiresolution blend over a tile batch.
 
@@ -194,6 +283,11 @@ def laplacian_fusion_tiles(
     to the alignment the layout provides (see
     :func:`srs_tpu.tiling.geometry.compute_layout` ``step_multiple``).
 
+    ``weight_profiles=(wy, wx)`` ([N, B] each, separable weights — ramp or
+    content-aware) selects the HBM-lean path: the tile batch is DONATED
+    (do not reuse it afterwards on TPU), Laplacian levels form on the fly
+    and weight pyramids stay 1-D. Required for print-grade canvases.
+
     ``mode='reference'``: per-tile math parity with reference
     blending_module.py:369-506 — collapse(L_i(tile) * G_i(w)) accumulated
     on the canvas and normalized by the *level-0* weight sum. Faithful to
@@ -201,12 +295,13 @@ def laplacian_fusion_tiles(
     smoothed numerator is divided by unsmoothed weights).
 
     ``weights`` is [N, B, B] (:func:`srs_tpu.ops.weights.layout_weights`:
-    'distance' for reference parity, 'ramp' for partition of unity).
+    'distance' for reference parity, 'ramp' for partition of unity);
+    ignored when ``weight_profiles`` is given.
     """
-    weights = jnp.asarray(weights)
     if positions is None:
         positions = jnp.asarray(layout.positions)
     if mode == "reference":
+        weights = jnp.asarray(weights)
         weighted = _weighted_collapse(tiles, weights, levels, clip_range is not None)
         canvas = merge_tiles(weighted, weights, layout, positions, premultiplied=True)
     else:
@@ -218,14 +313,21 @@ def laplacian_fusion_tiles(
             # negligible weight (SURVEY §7 hard part #3).
             overlap_cap = max(1, int(np.log2(max(layout.overlap, 4))) - 1)
             levels = max(1, min(levels, align + 1, overlap_cap))
-        blend_fn = (
-            _canvas_pyramid_blend
-            if layout.padded_h * layout.padded_w <= _FUSED_BLEND_MAX_PIXELS
-            else _canvas_pyramid_blend_staged
-        )
-        canvas = blend_fn(
-            tiles, weights, positions, levels, layout.padded_h, layout.padded_w
-        )
+        if weight_profiles is not None:
+            wy, wx = weight_profiles
+            canvas = _canvas_pyramid_blend_profiles(
+                tiles, wy, wx, positions, levels, layout.padded_h, layout.padded_w
+            )
+        else:
+            weights = jnp.asarray(weights)
+            blend_fn = (
+                _canvas_pyramid_blend
+                if layout.padded_h * layout.padded_w <= _FUSED_BLEND_MAX_PIXELS
+                else _canvas_pyramid_blend_staged
+            )
+            canvas = blend_fn(
+                tiles, weights, positions, levels, layout.padded_h, layout.padded_w
+            )
     if clip_range is not None:
         canvas = jnp.clip(canvas, clip_range[0], clip_range[1])
     return canvas

@@ -23,6 +23,8 @@ __all__ = [
     "distance_weight_map",
     "overlap_ramp_weight",
     "layout_weights",
+    "layout_weight_profiles",
+    "profile_pyramid",
 ]
 
 
@@ -137,4 +139,61 @@ def layout_weights(
         if key not in cache:
             cache[key] = overlap_ramp_weight(b, b, *key)
         out[t] = cache[key]
+    return out
+
+
+def _ramp_profile(n: int, lo_overlap: int, hi_overlap: int) -> np.ndarray:
+    """1-D linear feather profile over a block edge pair."""
+    w = np.ones(n, dtype=np.float32)
+    if lo_overlap > 0:
+        w[:lo_overlap] *= np.linspace(0, 1, lo_overlap, dtype=np.float32)
+    if hi_overlap > 0:
+        w[-hi_overlap:] *= np.linspace(1, 0, hi_overlap, dtype=np.float32)
+    return w
+
+
+def layout_weight_profiles(layout: TileLayout) -> tuple:
+    """Separable form of the ramp weights: (wy [N, block], wx [N, block])
+    float32 with ``weight[t] == outer(wy[t], wx[t])`` exactly.
+
+    Separability matters on TPU: per-level weight *pyramids* of an outer
+    product are outer products of 1-D pyramids (the binomial kernel is
+    separable), so the blend can synthesize per-level weight maps on
+    device from kilobyte-sized vectors instead of holding gigabyte dense
+    pyramids in HBM.
+    """
+    n, b = layout.num_tiles, layout.block
+    wy = np.empty((n, b), np.float32)
+    wx = np.empty((n, b), np.float32)
+    cache: dict = {}
+    for t in range(n):
+        top, bottom, left, right = (int(v) for v in layout.overlaps[t])
+        ky = (top, bottom)
+        kx = (left, right)
+        if ky not in cache:
+            cache[ky] = _ramp_profile(b, *ky)
+        if kx not in cache:
+            cache[kx] = _ramp_profile(b, *kx)
+        wy[t] = cache[ky]
+        wx[t] = cache[kx]
+    return wy, wx
+
+
+def _pyr_down_1d(v: np.ndarray) -> np.ndarray:
+    """cv2-parity 1-D pyrDown (5-tap binomial, REFLECT_101, even phase)
+    applied along the last axis of [N, L]."""
+    from ..ops.pallas.pyramid_pallas import decimation_matrix
+
+    d = decimation_matrix(v.shape[-1])
+    return (v @ d.T).astype(np.float32)
+
+
+def profile_pyramid(profiles: np.ndarray, levels: int) -> list:
+    """[P0..P_{L-1}] 1-D Gaussian pyramid of [N, L] profiles (host-side,
+    numpy; exact match of the device pyr_down on the outer product)."""
+    out = [np.asarray(profiles, np.float32)]
+    for _ in range(levels - 1):
+        if out[-1].shape[-1] < 2 or (out[-1].shape[-1] + 1) // 2 < 2:
+            break
+        out.append(_pyr_down_1d(out[-1]))
     return out

@@ -213,6 +213,27 @@ class SuperResolutionPipeline:
             outs.append(cur)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
+    def _weight_profiles(self, out_layout, image: Optional[np.ndarray], net_scale: int):
+        """Separable (wy, wx) blend profiles: content-aware when enabled,
+        ramp otherwise. Separable weights keep the blend HBM-lean."""
+        from .ops.weights import layout_weight_profiles
+
+        if self.config.content_aware and image is not None:
+            try:
+                from .tiling.content import ContentAnalyzer
+                from .tiling.content_layout import content_aware_weight_profiles
+
+                zone = ContentAnalyzer().create_forbidden_zone_map(image)
+                zone_up = np.repeat(np.repeat(zone, net_scale, axis=0), net_scale, axis=1)
+                pad_h = out_layout.padded_h - zone_up.shape[0]
+                pad_w = out_layout.padded_w - zone_up.shape[1]
+                zone_up = np.pad(zone_up, ((0, max(0, pad_h)), (0, max(0, pad_w))))
+                zone_up = zone_up[: out_layout.padded_h, : out_layout.padded_w]
+                return content_aware_weight_profiles(out_layout, zone_up)
+            except Exception:
+                logger.warning("content-aware weighting failed; using ramp")
+        return layout_weight_profiles(out_layout)
+
     def _blend_weights(self, out_layout, kind: str, image: Optional[np.ndarray],
                        net_scale: int, weight_type: str = "cosine"):
         if self.config.content_aware and image is not None:
@@ -236,10 +257,15 @@ class SuperResolutionPipeline:
     def _blend(self, up_tiles: jnp.ndarray, out_layout,
                image: Optional[np.ndarray] = None, net_scale: int = 1) -> jnp.ndarray:
         method = self.config.blend_method
-        if method in ("laplacian", "multi_band"):
-            kind = "distance" if method == "multi_band" else "ramp"
-            wt = "sigmoid" if method == "multi_band" else "cosine"
-            weights = self._blend_weights(out_layout, kind, image, net_scale, wt)
+        if method == "laplacian":
+            profiles = self._weight_profiles(out_layout, image, net_scale)
+            return B.laplacian_fusion_tiles(
+                up_tiles, None, out_layout,
+                levels=self.config.num_pyramid_levels,
+                weight_profiles=profiles,
+            )
+        if method == "multi_band":
+            weights = self._blend_weights(out_layout, "distance", image, net_scale, "sigmoid")
             return B.laplacian_fusion_tiles(
                 up_tiles, weights, out_layout, levels=self.config.num_pyramid_levels
             )

@@ -21,7 +21,7 @@ import numpy as np
 
 from .geometry import TileLayout
 
-__all__ = ["seam_cost", "choose_crossovers", "content_aware_weights"]
+__all__ = ["seam_cost", "choose_crossovers", "content_aware_weights", "content_aware_weight_profiles"]
 
 
 def seam_cost(zone: np.ndarray, axis: int, line: int, band: int = 8) -> float:
@@ -111,3 +111,30 @@ def content_aware_weights(
         y0, x0 = int(pos[t, 0]), int(pos[t, 1])
         out[t] = prof_r[r, y0 : y0 + b][:, None] * prof_c[c, x0 : x0 + b][None, :]
     return out
+
+
+def content_aware_weight_profiles(
+    layout: TileLayout,
+    forbidden_zone: np.ndarray,
+    band: int = 8,
+    feather: Optional[int] = None,
+):
+    """Separable form of :func:`content_aware_weights`: (wy [N, block],
+    wx [N, block]) with ``weights[t] == outer(wy[t], wx[t])`` exactly —
+    feed to the HBM-lean blend path (`weight_profiles=`)."""
+    zone = np.asarray(forbidden_zone, bool)
+    fw = feather if feather is not None else max(4, layout.overlap // 2)
+    rows = choose_crossovers(layout, zone, 0, band, fw)
+    cols = choose_crossovers(layout, zone, 1, band, fw)
+    prof_r = _axis_profiles(layout.ny, layout.padded_h, layout.step, layout.block, rows, fw)
+    prof_c = _axis_profiles(layout.nx, layout.padded_w, layout.step, layout.block, cols, fw)
+    n, b = layout.num_tiles, layout.block
+    wy = np.empty((n, b), np.float32)
+    wx = np.empty((n, b), np.float32)
+    pos = np.asarray(layout.positions)
+    for t in range(n):
+        r, c = t // layout.nx, t % layout.nx
+        y0, x0 = int(pos[t, 0]), int(pos[t, 1])
+        wy[t] = prof_r[r, y0 : y0 + b]
+        wx[t] = prof_c[c, x0 : x0 + b]
+    return wy, wx

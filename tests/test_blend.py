@@ -227,3 +227,23 @@ def test_visualize_seams():
     bm = BlendingModule()
     out = bm.visualize_seams(img, [Seam(10, 10, 16, 16, 0.5)])
     assert tuple(out[10, 12]) == (255, 0, 0)  # high severity -> red
+
+
+def test_profile_blend_matches_dense(rng):
+    """HBM-lean separable-profile path == dense canvas path."""
+    from srs_tpu.ops import blend as B2
+    from srs_tpu.ops.tiles import extract_tiles, pad_image
+    from srs_tpu.ops.weights import layout_weight_profiles, layout_weights
+    from srs_tpu.tiling.geometry import compute_layout
+
+    lo = compute_layout(300, 200, 128, 0.25, step_multiple=32)
+    img = rng.random((200, 300, 3), dtype=np.float32) * 255
+    tiles = extract_tiles(pad_image(jnp.asarray(img), lo), lo)
+    dense = B2.laplacian_fusion_tiles(
+        tiles, layout_weights(lo, kind="ramp"), lo, levels=4
+    )
+    prof = B2.laplacian_fusion_tiles(
+        jnp.array(tiles), None, lo, levels=4,
+        weight_profiles=layout_weight_profiles(lo),
+    )
+    np.testing.assert_allclose(np.asarray(prof), np.asarray(dense), atol=2e-4)
