@@ -1,0 +1,3 @@
+from .module import AssessmentLevel, QualityAssessmentModule
+
+__all__ = ["QualityAssessmentModule", "AssessmentLevel"]
