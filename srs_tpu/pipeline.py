@@ -64,6 +64,8 @@ class PipelineConfig:
     provider: str = "quality"  # quality | fast | hybrid | bicubic
     ibp_steps: int = 8  # back-projection refinement steps on the tile batch
     content_aware: bool = False  # seam placement avoids faces/text/saliency
+    # Device mesh, e.g. {"data": 4, "space": 2}; None = single device.
+    mesh_shape: Optional[Dict[str, int]] = None
     volc_ak: str = ""
     volc_sk: str = ""
     volc_region: str = ""
@@ -156,6 +158,12 @@ class SuperResolutionPipeline:
     def _ensure_engine(self) -> None:
         if self.sr_module is None:
             self.sr_module = SuperResolutionModule()
+        if getattr(self, "dispatcher", None) is None:
+            self.dispatcher = None
+            if self.config.mesh_shape:
+                from .parallel import MeshTileDispatcher, make_mesh
+
+                self.dispatcher = MeshTileDispatcher(make_mesh(self.config.mesh_shape))
         if self.scheduler is None:
             self.scheduler = AgentScheduler(
                 max_agents=self.config.max_agents,
@@ -194,8 +202,26 @@ class SuperResolutionPipeline:
 
     # -- device stages -----------------------------------------------------
     def _upscale_batch(self, tiles: jnp.ndarray, ladder: List[int]) -> jnp.ndarray:
-        """Run the net ladder over the tile batch, chunked to bound HBM."""
+        """Run the net ladder over the tile batch, chunked to bound HBM.
+
+        With a mesh configured, the batch shards over the ``data`` axis and
+        the whole ladder runs as one sharded program (per-device memory is
+        batch/N_data, so host-side chunking is unnecessary)."""
         assert self.sr_module is not None
+        if self.dispatcher is not None and self.config.provider != "bicubic":
+            provider = self.config.provider
+            steps = self.config.ibp_steps
+
+            def ladder_fn(x):
+                cur = x
+                for si, s in enumerate(ladder):
+                    cur = self.sr_module.upscale_tiles(
+                        cur, s, provider=provider,
+                        steps=steps if si == len(ladder) - 1 else 0,
+                    )
+                return cur
+
+            return self.dispatcher.run_tiled(ladder_fn, tiles, key=f"ladder{ladder}{provider}{steps}")
         n = int(tiles.shape[0])
         final_block = int(tiles.shape[1]) * int(np.prod(ladder)) if ladder else int(tiles.shape[1])
         # Peak per tile ~= pre-shuffle feature maps (64ch bf16 at output

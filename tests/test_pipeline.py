@@ -155,3 +155,16 @@ def test_content_aware_pipeline(input_png, tmp_path):
     result = pipe.process(input_png, out)
     assert result.success, result.error_message
     assert os.path.exists(out)
+
+
+def test_mesh_pipeline_8dev(input_png, tmp_path):
+    """Full pipeline with the tile batch sharded over the 8-device mesh."""
+    out = str(tmp_path / "mesh.png")
+    pipe = SuperResolutionPipeline(
+        _cfg(provider="fast", mesh_shape={"data": 8}, enable_qa=False)
+    )
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    assert pipe.dispatcher is not None and pipe.dispatcher.num_devices == 8
+    with Image.open(out) as im:
+        assert im.size == (320, 240)
