@@ -66,6 +66,9 @@ class PipelineConfig:
     content_aware: bool = False  # seam placement avoids faces/text/saliency
     # Device mesh, e.g. {"data": 4, "space": 2}; None = single device.
     mesh_shape: Optional[Dict[str, int]] = None
+    enable_seam_repair: bool = False  # post-blend seam QA + repair pass
+    enable_color_correction: bool = False  # histogram-match to source
+    seam_threshold: float = 0.95
     volc_ak: str = ""
     volc_sk: str = ""
     volc_region: str = ""
@@ -395,7 +398,38 @@ class SuperResolutionPipeline:
             # ---- Stage 3: blending ----
             t0 = time.time()
             out_layout = layout.scaled(net_scale)
-            canvas = self._blend(up_tiles, out_layout, image=image, net_scale=net_scale)
+            # The profile blend donates its input batch; keep a copy when
+            # the seam-repair pass still needs the source tiles.
+            blend_input = (
+                jnp.array(up_tiles) if self.config.enable_seam_repair else up_tiles
+            )
+            canvas = self._blend(blend_input, out_layout, image=image, net_scale=net_scale)
+
+            # Optional seam QA + repair (reference: blending stage of
+            # main.py via detect_seams/repair_seams, blending:765-1216).
+            if self.config.enable_seam_repair:
+                from .ops.seam import detect_seams as _detect, repair_seams as _repair
+                from .ops.tiles import extract_tiles as _extract
+
+                result_tiles = _extract(canvas, out_layout)
+                seams = _detect(
+                    result_tiles, up_tiles, out_layout,
+                    threshold=self.config.seam_threshold,
+                )
+                bad = [s for s in seams if s.severity != "low"]
+                if bad:
+                    logger.info("repairing %d seams", len(bad))
+                    canvas = _repair(canvas, bad, up_tiles, out_layout)
+                del result_tiles
+
+            # Optional color consistency vs the source (reference:
+            # blending:969-1017; reference tile = the original image).
+            if self.config.enable_color_correction:
+                from .ops.color import color_correction as _cc
+
+                src_dev = jnp.asarray(image, jnp.float32)
+                canvas = _cc(canvas, src_dev, method="histogram", local_filter=False)
+
             fused = unpad_image(canvas, out_layout)
             # exact target size (aspect preserved by construction)
             if (fused.shape[0], fused.shape[1]) != (th, tw):

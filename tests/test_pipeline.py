@@ -168,3 +168,14 @@ def test_mesh_pipeline_8dev(input_png, tmp_path):
     assert pipe.dispatcher is not None and pipe.dispatcher.num_devices == 8
     with Image.open(out) as im:
         assert im.size == (320, 240)
+
+
+def test_seam_repair_and_color_correction_stages(input_png, tmp_path):
+    out = str(tmp_path / "sr_cc.png")
+    pipe = SuperResolutionPipeline(
+        _cfg(enable_seam_repair=True, enable_color_correction=True,
+             enable_qa=False, seam_threshold=0.8)
+    )
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    assert os.path.exists(out)
