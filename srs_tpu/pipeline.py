@@ -498,3 +498,32 @@ class SuperResolutionPipeline:
                 error_message=str(e),
                 stage_times=stage_times,
             )
+
+    def process_batch(
+        self, jobs: List[Dict[str, Any]]
+    ) -> List[PipelineResult]:
+        """Process multiple images in scheduler priority order.
+
+        Each job: {"input": path, "output": path, optional "vip_level"
+        (VIPLevel or int), "prompt", "roi_regions"}. Jobs are ordered by
+        the scheduler's VIP/FIFO priority formula (the batch-queue
+        semantics of the reference's advanced page, pages/advanced_page.py)
+        and the whole run shares one warm pipeline (one set of compiled
+        programs when shapes repeat).
+        """
+        from .scheduler.scheduler import VIPLevel
+
+        def prio(j: Dict[str, Any]) -> float:
+            vip = j.get("vip_level", VIPLevel.NORMAL)
+            if isinstance(vip, int):
+                vip = VIPLevel(vip)
+            return Task.calculate_priority(vip, bool(j.get("roi_regions")), False, time.time())
+
+        ordered = sorted(enumerate(jobs), key=lambda it: prio(it[1]))
+        results: List[Optional[PipelineResult]] = [None] * len(jobs)
+        for idx, job in ordered:
+            results[idx] = self.process(
+                job["input"], job["output"],
+                prompt=job.get("prompt"), roi_regions=job.get("roi_regions"),
+            )
+        return results  # type: ignore[return-value]

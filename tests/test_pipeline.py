@@ -179,3 +179,17 @@ def test_seam_repair_and_color_correction_stages(input_png, tmp_path):
     result = pipe.process(input_png, out)
     assert result.success, result.error_message
     assert os.path.exists(out)
+
+
+def test_process_batch_priority_order(input_png, tmp_path):
+    from srs_tpu.scheduler.scheduler import VIPLevel
+
+    pipe = SuperResolutionPipeline(_cfg(enable_qa=False))
+    jobs = [
+        {"input": input_png, "output": str(tmp_path / "n.png")},
+        {"input": input_png, "output": str(tmp_path / "v.png"),
+         "vip_level": VIPLevel.ENTERPRISE},
+    ]
+    results = pipe.process_batch(jobs)
+    assert len(results) == 2 and all(r.success for r in results)
+    assert os.path.exists(str(tmp_path / "v.png"))
