@@ -56,6 +56,20 @@ def _cmd_webui(args: argparse.Namespace) -> int:
     )
 
 
+def _cmd_train(args: argparse.Namespace) -> int:
+    from .config import ModelConfig
+    from .models.train import train_from_images
+
+    ckpt = args.checkpoint_dir or ModelConfig().checkpoint_dir
+    _, loss = train_from_images(
+        args.images, args.model, args.scale, steps=args.steps,
+        patch=args.patch, batch=args.batch, lr=args.lr, checkpoint_dir=ckpt,
+    )
+    print(f"trained {args.model} x{args.scale}: final loss {loss:.4f}; "
+          f"checkpoint in {ckpt}")
+    return 0
+
+
 def _cmd_info(args: argparse.Namespace) -> int:
     import jax
 
@@ -97,6 +111,18 @@ def build_parser() -> argparse.ArgumentParser:
     pw = sub.add_parser("webui", help="launch the Streamlit UI")
     pw.add_argument("--port", type=int, default=8501)
     pw.set_defaults(fn=_cmd_webui)
+
+    pt = sub.add_parser("train", help="train an SR model on HR images")
+    pt.add_argument("images", nargs="+", help="HR image files")
+    pt.add_argument("--model", default="espcn", help="registry model name")
+    pt.add_argument("--scale", type=int, default=2)
+    pt.add_argument("--steps", type=int, default=2000)
+    pt.add_argument("--patch", type=int, default=48)
+    pt.add_argument("--batch", type=int, default=32)
+    pt.add_argument("--lr", type=float, default=2e-4)
+    pt.add_argument("--checkpoint-dir", default=None,
+                    help="defaults to ModelConfig.checkpoint_dir")
+    pt.set_defaults(fn=_cmd_train)
 
     pi = sub.add_parser("info", help="environment and config info")
     pi.add_argument("--config", action="store_true")

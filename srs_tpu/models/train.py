@@ -130,3 +130,71 @@ def zssr_finetune(
             apply_fn, params, opt_state, tx, jnp.asarray(lrp), jnp.asarray(hrp)
         )
     return params
+
+
+def save_checkpoint(params, name: str, scale: int, checkpoint_dir: str) -> str:
+    """Save params where the registry will find them
+    (ModelConfig.checkpoint_dir / {name}_x{scale})."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(
+        os.path.join(os.path.expanduser(checkpoint_dir), f"{name}_x{scale}")
+    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()  # saves are async; commit before returning
+    return path
+
+
+def train_from_images(
+    image_paths,
+    model_name: str = "espcn",
+    scale: int = 2,
+    steps: int = 2000,
+    patch: int = 48,
+    batch: int = 32,
+    lr: float = 2e-4,
+    checkpoint_dir: str | None = None,
+    seed: int = 0,
+    log_every: int = 200,
+):
+    """Train a registry model on a folder of HR images (bicubic degradation
+    pairs) and save an orbax checkpoint the registry auto-loads.
+
+    Returns (params, final_loss).
+    """
+    import numpy as np
+
+    from ..io.image import load_image
+    from .registry import MODEL_REGISTRY
+
+    spec = MODEL_REGISTRY[model_name]
+    kwargs = dict(spec.kwargs)
+    kwargs.setdefault("scale", scale)
+    module = spec.ctor(**kwargs)
+
+    rng = np.random.default_rng(seed)
+    images = [np.asarray(load_image(p), np.float32) for p in image_paths]
+    images = [im for im in images if min(im.shape[:2]) >= patch * scale]
+    if not images:
+        raise ValueError("no images large enough for the requested patch size")
+
+    params = module.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, patch, patch, 3), jnp.float32)
+    )
+    tx = make_optimizer(lr)
+    opt_state = tx.init(params)
+    loss = float("nan")
+    for step in range(steps):
+        img = images[rng.integers(len(images))]
+        lrp, hrp = sample_patches(rng, img, batch, patch, scale)
+        params, opt_state, m = train_step(
+            module.apply, params, opt_state, tx, jnp.asarray(lrp), jnp.asarray(hrp)
+        )
+        if step % log_every == 0 or step == steps - 1:
+            loss = float(m["loss"])
+    if checkpoint_dir:
+        save_checkpoint(params, model_name, scale, checkpoint_dir)
+    return params, loss

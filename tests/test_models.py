@@ -205,3 +205,27 @@ def test_lpips_metric_properties(img64):
     assert 0 < d1 < d2
     # alex arch also works
     assert float(lp(a, noisy, net="alex")) > 0
+
+
+def test_train_from_images_and_checkpoint(tmp_path):
+    from PIL import Image as PILImage
+
+    from srs_tpu.models.registry import build_model, clear_param_cache
+    from srs_tpu.models.train import train_from_images
+
+    for i in range(2):
+        arr = (np.random.default_rng(i).random((96, 96, 3)) * 255).astype(np.uint8)
+        PILImage.fromarray(arr).save(str(tmp_path / f"i{i}.png"))
+    params, loss = train_from_images(
+        [str(tmp_path / "i0.png"), str(tmp_path / "i1.png")],
+        "espcn", 2, steps=10, patch=16, batch=4,
+        checkpoint_dir=str(tmp_path / "ck"), log_every=5,
+    )
+    assert np.isfinite(loss)
+    clear_param_cache()
+    try:
+        m, p = build_model("espcn", 2, checkpoint_dir=str(tmp_path / "ck"))
+        out = m.apply(p, jnp.zeros((1, 16, 16, 3)))
+        assert out.shape == (1, 32, 32, 3)
+    finally:
+        clear_param_cache()
