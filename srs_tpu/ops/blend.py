@@ -192,21 +192,20 @@ def _accumulate_level_sep(
     synthesized as outer(wy_t, wx_t) in the scan body (never a dense
     [N, B, B] array in HBM)."""
     tb_h, tb_w, c = g_i.shape[1], g_i.shape[2], g_i.shape[3]
+    n = g_i.shape[0]
     lap = g_i if is_last else g_i - pyr_up(g_next, (tb_h, tb_w))
     num = jnp.zeros((ch, cw, c), jnp.float32)
     den = jnp.zeros((ch, cw, 1), jnp.float32)
-
-    def step(carry, inp):
-        num, den = carry
-        l, py, px, p = inp
-        w = py[:, None, None] * px[None, :, None]  # [h, w, 1]
-        npatch = jax.lax.dynamic_slice(num, (p[0], p[1], 0), (tb_h, tb_w, c))
-        num2 = jax.lax.dynamic_update_slice(num, npatch + l * w, (p[0], p[1], 0))
-        dpatch = jax.lax.dynamic_slice(den, (p[0], p[1], 0), (tb_h, tb_w, 1))
-        den2 = jax.lax.dynamic_update_slice(den, dpatch + w, (p[0], p[1], 0))
-        return (num2, den2), None
-
-    (num, den), _ = jax.lax.scan(step, (num, den), (lap, wy, wx, pos))
+    # Unrolled over the (small, static) tile count: a lax.scan whose carry
+    # is a multi-GB canvas compiles pathologically on TPU; the unrolled
+    # graph is tiny (4 dynamic ops per tile).
+    for t in range(n):
+        w = wy[t][:, None, None] * wx[t][None, :, None]  # [h, w, 1]
+        p0, p1 = pos[t, 0], pos[t, 1]
+        npatch = jax.lax.dynamic_slice(num, (p0, p1, 0), (tb_h, tb_w, c))
+        num = jax.lax.dynamic_update_slice(num, npatch + lap[t] * w, (p0, p1, 0))
+        dpatch = jax.lax.dynamic_slice(den, (p0, p1, 0), (tb_h, tb_w, 1))
+        den = jax.lax.dynamic_update_slice(den, dpatch + w, (p0, p1, 0))
     return num / jnp.maximum(den, 1e-8)
 
 
