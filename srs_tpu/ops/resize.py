@@ -21,13 +21,13 @@ matching cv2.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["cubic_weights", "resize_bicubic", "resize_bicubic_up"]
+__all__ = ["cubic_weights", "resize_bicubic", "resize_bicubic_up", "resize_bicubic_banded"]
 
 _A = -0.75  # cv2's bicubic coefficient
 
@@ -169,3 +169,88 @@ def resize_bicubic_up(x: jax.Array, scale: int) -> jax.Array:
         return x
     ah, aw = x.ndim - 3, x.ndim - 2
     return _up_axis(_up_axis(x, ah, scale), aw, scale)
+
+
+@partial(jax.jit, static_argnames=("src_h0", "band_src_h", "band_out_h", "out_w", "to_uint8"))
+def _resize_band(
+    x: jax.Array,
+    src_start: jax.Array,
+    idx_y: jax.Array,
+    wy: jax.Array,
+    src_h0: int,
+    band_src_h: int,
+    band_out_h: int,
+    out_w: int,
+    to_uint8: bool,
+) -> jax.Array:
+    """One output row band: dynamic source slice + 4-tap combines."""
+    src = jax.lax.dynamic_slice(
+        x, (src_start, 0, 0), (band_src_h, x.shape[1], x.shape[2])
+    )
+    # vertical taps: idx_y [band_out_h, 4] are indices into the band
+    taps = src[idx_y.reshape(-1)].reshape(band_out_h, 4, src.shape[1], src.shape[2])
+    rows = jnp.einsum("otwc,ot->owc", taps, wy)
+    out = _resize_axis(rows, 1, out_w)
+    if to_uint8:
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out
+
+
+def resize_bicubic_banded(
+    x: jax.Array,
+    out_h: int,
+    out_w: int,
+    bands: int = 8,
+    crop_h: Optional[int] = None,
+    crop_w: Optional[int] = None,
+    to_uint8: bool = False,
+) -> np.ndarray:
+    """Print-grade resize: (H, W, C) -> host np array (out_h, out_w, C).
+
+    Giant single-program resizes of 100-200 MP canvases compile for
+    minutes and materialize 4x-tap gathers; this splits the OUTPUT into
+    uniform row bands so one small program is compiled once and executed
+    per band, optionally fusing crop (unpad), clip and uint8 quantization.
+    Matches cv2 INTER_CUBIC like :func:`resize_bicubic` (same tap plans).
+    Each band is fetched to host as it finishes (pipelines with the
+    ~30 MB/s device link).
+    """
+    src_h = crop_h if crop_h is not None else x.shape[0]
+    src_w = crop_w if crop_w is not None else x.shape[1]
+    if crop_w is not None and crop_w != x.shape[1]:
+        x = x[:, :crop_w]
+    band_out_h = -(-out_h // bands)
+    idx_full, w_full = _axis_plan(src_h, out_h)
+    # pad the plan to bands*band_out_h rows (extra rows recompute the last)
+    total = bands * band_out_h
+    pad = total - out_h
+    if pad:
+        idx_full = np.concatenate([idx_full, np.repeat(idx_full[-1:], pad, 0)])
+        w_full = np.concatenate([w_full, np.repeat(w_full[-1:], pad, 0)])
+    # uniform source band height covering any band's tap span
+    spans = []
+    for b in range(bands):
+        rows = idx_full[b * band_out_h : (b + 1) * band_out_h]
+        spans.append((int(rows.min()), int(rows.max())))
+    band_src_h = max(hi - lo + 1 for lo, hi in spans)
+    band_src_h = min(band_src_h, x.shape[0])
+    out_np = np.empty(
+        (total, out_w, x.shape[2]), np.uint8 if to_uint8 else np.float32
+    )
+    for b in range(bands):
+        lo, hi = spans[b]
+        start = min(lo, x.shape[0] - band_src_h)
+        rows = idx_full[b * band_out_h : (b + 1) * band_out_h] - start
+        band = _resize_band(
+            x,
+            jnp.int32(start),
+            jnp.asarray(rows.astype(np.int32)),
+            jnp.asarray(w_full[b * band_out_h : (b + 1) * band_out_h]),
+            src_h,
+            band_src_h,
+            band_out_h,
+            out_w,
+            to_uint8,
+        )
+        out_np[b * band_out_h : (b + 1) * band_out_h] = np.asarray(band)
+    return out_np[:out_h]

@@ -292,6 +292,7 @@ class SuperResolutionPipeline:
                 up_tiles, None, out_layout,
                 levels=self.config.num_pyramid_levels,
                 weight_profiles=profiles,
+                clip_range=None,  # the banded save path clips + quantizes
             )
         if method == "multi_band":
             weights = self._blend_weights(out_layout, "distance", image, net_scale, "sigmoid")
@@ -302,7 +303,7 @@ class SuperResolutionPipeline:
             kind = "ramp" if method != "feather" else "distance"
             return B.weighted_fusion_tiles(
                 up_tiles, self._blend_weights(out_layout, kind, image, net_scale),
-                out_layout, clip_range=(0, 255),
+                out_layout, clip_range=None,
             )
         if method in ("gradient", "gradient_domain", "poisson"):
             return B.gradient_domain_fusion_tiles(
@@ -430,23 +431,28 @@ class SuperResolutionPipeline:
                 src_dev = jnp.asarray(image, jnp.float32)
                 canvas = _cc(canvas, src_dev, method="histogram", local_filter=False)
 
-            fused = unpad_image(canvas, out_layout)
-            # exact target size (aspect preserved by construction)
-            if (fused.shape[0], fused.shape[1]) != (th, tw):
-                fused = resize_bicubic(fused, th, tw)
-            fused.block_until_ready()
+            canvas.block_until_ready()
             stage_times["blending"] = time.time() - t0
 
             # ---- Stage 4: QA ----
+            # One small banded program pulls an input-size proxy straight
+            # off the padded canvas (crop + resize fused).
             t0 = time.time()
             quality_report = None
             quality_score = None
+            from .ops.resize import resize_bicubic_banded
+
+            crop_h = min(out_layout.padded_h, layout.image_h * net_scale)
+            crop_w = min(out_layout.padded_w, layout.image_w * net_scale)
             if self.quality_module is not None:
-                fused_small = resize_bicubic(fused, h, w)
-                fr = self.quality_module.evaluate_full_reference(
-                    image, np.asarray(fused_small)
+                fused_small = np.clip(
+                    resize_bicubic_banded(
+                        canvas, h, w, bands=2, crop_h=crop_h, crop_w=crop_w
+                    ),
+                    0, 255,
                 )
-                nr = self.quality_module.evaluate_no_reference(np.asarray(fused_small))
+                fr = self.quality_module.evaluate_full_reference(image, fused_small)
+                nr = self.quality_module.evaluate_no_reference(fused_small)
                 quality_report = {**fr, **nr}
                 if roi_regions:
                     # ROI boxes are in input coordinates; fused_small is
@@ -461,10 +467,13 @@ class SuperResolutionPipeline:
 
             # ---- Stage 5: save ----
             t0 = time.time()
-            # Quantize on device: the host link runs ~30 MB/s through the
-            # tunnel, so ship 1 byte/px instead of 4.
-            fused_u8 = jnp.clip(jnp.round(fused), 0, 255).astype(jnp.uint8)
-            fused_np = np.asarray(fused_u8)
+            # One banded program fuses crop (unpad), exact-size resize,
+            # clip and uint8 quantization, streaming row bands over the
+            # ~30 MB/s host link at 1 byte/px.
+            fused_np = resize_bicubic_banded(
+                canvas, th, tw, bands=8, crop_h=crop_h, crop_w=crop_w,
+                to_uint8=True,
+            )
             save_image(output_path, fused_np)
             if quality_report:
                 report_path = output_path.rsplit(".", 1)[0] + "_qa_report.json"
