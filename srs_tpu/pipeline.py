@@ -90,25 +90,38 @@ class PipelineResult:
     stage_times: Dict[str, float] = field(default_factory=dict)
 
 
-def _scale_ladder(total: float) -> List[int]:
-    """Minimal-overshoot ladder of {2,3,4}x net passes covering ``total``.
+def _scale_ladder(total: float, max_undershoot: float = 0.88) -> List[int]:
+    """Ladder of {2,3,4}x net passes landing nearest ``total``.
 
-    Returns [] when total <= 1 (bicubic/identity handles the remainder)."""
+    Slight undershoot (down to ``max_undershoot * total``, finished by a
+    small bicubic upscale) is allowed with a quadratic penalty: overshoot
+    costs quadratically in extra pixels (canvas area ~ p^2), so e.g. for a
+    9.57x target the 9x ladder (74 MP canvas, +6% bicubic) beats the 12x
+    one (132 MP canvas). Returns [] when total <= 1.
+    """
     if total <= 1.0:
         return []
     best: Tuple[float, List[int]] = (float("inf"), [4, 4, 4, 4])
+
+    def score(prod: float) -> float:
+        if prod >= total:
+            return (prod / total) ** 2
+        if prod < total * max_undershoot:
+            return float("inf")
+        return (total / prod) ** 2 * 1.05
+
     def rec(prod: float, steps: List[int]):
         nonlocal best
-        if prod >= total:
-            if prod < best[0]:
-                best = (prod, list(steps))
-            return
-        if prod > total * 4:
+        s_here = score(prod)
+        if steps and s_here < best[0]:
+            best = (s_here, list(steps))
+        if prod >= total * 4:
             return
         for s in (2, 3, 4):
             steps.append(s)
             rec(prod * s, steps)
             steps.pop()
+
     rec(1.0, [])
     return best[1]
 
