@@ -40,3 +40,23 @@ def test_identity_and_batch(rng):
     for i in range(4):
         ref = cv2.resize(x[i], (32, 32), interpolation=cv2.INTER_CUBIC)
         np.testing.assert_allclose(up[i], ref, atol=ULP, rtol=0)
+
+
+def test_banded_resize_matches_cv2(rng):
+    from srs_tpu.ops.resize import resize_bicubic_banded
+
+    x = rng.random((600, 500, 3), dtype=np.float32) * 255
+    ref = cv2.resize(x, (407, 433), interpolation=cv2.INTER_CUBIC)
+    got = resize_bicubic_banded(jnp.asarray(x), 433, 407, bands=5)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+    # crop + uint8 fused
+    xp = np.pad(x, ((0, 40), (0, 24), (0, 0)))
+    got2 = resize_bicubic_banded(
+        jnp.asarray(xp), 433, 407, bands=5, crop_h=600, crop_w=500, to_uint8=True
+    )
+    ref2 = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    assert np.abs(got2.astype(int) - ref2.astype(int)).max() <= 1
+    # upscale direction + bands > rows edge case
+    ref3 = cv2.resize(x[:100, :100], (260, 240), interpolation=cv2.INTER_CUBIC)
+    got3 = resize_bicubic_banded(jnp.asarray(x[:100, :100]), 240, 260, bands=4)
+    np.testing.assert_allclose(got3, ref3, atol=2e-4)

@@ -181,3 +181,36 @@ def test_image_hash_stability(module, image, tmp_path):
     p = str(tmp_path / "x.png")
     Image.fromarray(image.astype(np.uint8)).save(p)
     assert module.compute_image_hash(p) == module.compute_image_hash(p)
+
+
+def test_cache_thread_safety(tmp_path):
+    """Concurrent put/get hammering (the reference guards its LRU and
+    registry with locks, tiling_module.py:387-425; verify ours hold)."""
+    import threading
+
+    from srs_tpu.tiling.cache import LRUCache, TileStore
+
+    cache = LRUCache(max_size=16)
+    store = TileStore(str(tmp_path / "c"), l1_size=8)
+    errors = []
+
+    def worker(k):
+        try:
+            for i in range(200):
+                cache.put(f"k{(k * 7 + i) % 32}", i)
+                cache.get(f"k{i % 32}")
+                if i % 50 == 0:
+                    data = np.full((4, 4, 3), k, np.float32)
+                    store.put("h", f"b{k}_{i}", data)
+                    got = store.get("h", f"b{k}_{i}")
+                    assert got is not None
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(cache) <= 16
