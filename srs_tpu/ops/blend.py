@@ -41,6 +41,7 @@ from .tiles import merge_tiles
 
 __all__ = [
     "laplacian_fusion_tiles",
+    "blend_finalize_banded",
     "weighted_fusion_tiles",
     "gradient_domain_fusion_tiles",
     "poisson_solve_neumann",
@@ -217,7 +218,8 @@ def _canvas_pyramid_blend_profiles(
     levels: int,
     padded_h: int,
     padded_w: int,
-) -> jax.Array:
+    collapse_last: bool = True,
+):
     """HBM-lean canvas-pyramid blend for separable weights.
 
     vs the dense staged path: the tile batch is donated into its Gaussian
@@ -250,10 +252,14 @@ def _canvas_pyramid_blend_profiles(
         gauss[i] = None  # donated/consumed
         ch, cw = (ch + 1) // 2, (cw + 1) // 2
     x = canvas_lap[-1]
-    for i in range(len(canvas_lap) - 2, -1, -1):
+    stop = 1 if not collapse_last and len(canvas_lap) > 1 else 0
+    for i in range(len(canvas_lap) - 2, stop - 1, -1):
         hw = (canvas_lap[i].shape[0], canvas_lap[i].shape[1])
         x = _collapse_step(canvas_lap[i], x, hw)
         canvas_lap[i] = None
+    if stop:
+        # caller finishes level 0 banded (blend_finalize_banded)
+        return canvas_lap[0], x
     return x
 
 
@@ -271,7 +277,8 @@ def laplacian_fusion_tiles(
     clip_range: Optional[Tuple[float, float]] = (0.0, 255.0),
     mode: str = "canvas",
     weight_profiles: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-) -> jax.Array:
+    collapse_last: bool = True,
+):
     """Burt-Adelson multiresolution blend over a tile batch.
 
     ``mode='canvas'`` (default): weighted Laplacian levels are accumulated
@@ -315,8 +322,11 @@ def laplacian_fusion_tiles(
         if weight_profiles is not None:
             wy, wx = weight_profiles
             canvas = _canvas_pyramid_blend_profiles(
-                tiles, wy, wx, positions, levels, layout.padded_h, layout.padded_w
+                tiles, wy, wx, positions, levels, layout.padded_h, layout.padded_w,
+                collapse_last=collapse_last,
             )
+            if not collapse_last:
+                return canvas  # (lap0, coarse) pair for blend_finalize_banded
         else:
             weights = jnp.asarray(weights)
             blend_fn = (
@@ -517,3 +527,118 @@ def seamless_clone(
         return dst * (1 - m) + upd * m
 
     return jax.lax.fori_loop(0, iters, body, u0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("band_src_h", "band_coarse_h", "band_out_h", "out_w", "to_uint8"),
+)
+def _finalize_band(
+    lap0: jax.Array,
+    coarse: jax.Array,
+    lap_start: jax.Array,
+    coarse_start: jax.Array,
+    up_offset: jax.Array,
+    idx_y: jax.Array,
+    wy: jax.Array,
+    band_src_h: int,
+    band_coarse_h: int,
+    band_out_h: int,
+    out_w: int,
+    to_uint8: bool,
+):
+    """One output band of: collapse level-0 (lap0 + pyrUp(coarse)) ->
+    vertical resize taps -> horizontal resize -> optional quantize."""
+    c = lap0.shape[-1]
+    lap_band = jax.lax.dynamic_slice(
+        lap0, (lap_start, 0, 0), (band_src_h, lap0.shape[1], c)
+    )
+    coarse_band = jax.lax.dynamic_slice(
+        coarse, (coarse_start, 0, 0), (band_coarse_h, coarse.shape[1], c)
+    )
+    # Upsample at the coarse level's full width, then cut to the (possibly
+    # cropped) lap0 width — cropping coarse first would replace real
+    # neighbor columns with border rules.
+    up = pyr_up(coarse_band, (2 * band_coarse_h, 2 * coarse.shape[1]))
+    up_band = jax.lax.dynamic_slice(
+        up, (up_offset, 0, 0), (band_src_h, lap0.shape[1], c)
+    )
+    canvas_band = lap_band + up_band
+    taps = canvas_band[idx_y.reshape(-1)].reshape(
+        band_out_h, 4, canvas_band.shape[1], c
+    )
+    rows = jnp.einsum("otwc,ot->owc", taps, wy)
+    from .resize import _resize_axis
+
+    out = _resize_axis(rows, 1, out_w)
+    if to_uint8:
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out
+
+
+def blend_finalize_banded(
+    lap0: jax.Array,
+    coarse: jax.Array,
+    out_h: int,
+    out_w: int,
+    bands: int = 8,
+    crop_h: Optional[int] = None,
+    crop_w: Optional[int] = None,
+    to_uint8: bool = False,
+) -> np.ndarray:
+    """Final pyramid collapse + exact-size resize + quantize, banded.
+
+    The level-0 collapse of a 100-200 MP canvas is the single largest
+    program in the pipeline (the TPU compile helper takes tens of minutes
+    or dies on it); this fuses it with the output resize per uniform row
+    band, so only one small program is compiled. ``lap0``/``coarse`` are
+    the two finest canvas-pyramid levels from
+    `_canvas_pyramid_blend_profiles(..., collapse_last=False)`.
+    """
+    from .resize import _axis_plan
+
+    src_h = crop_h if crop_h is not None else lap0.shape[0]
+    src_w = crop_w if crop_w is not None else lap0.shape[1]
+    if crop_w is not None and crop_w != lap0.shape[1]:
+        lap0 = lap0[:, :crop_w]
+    band_out_h = -(-out_h // bands)
+    idx_full, w_full = _axis_plan(src_h, out_h)
+    total = bands * band_out_h
+    pad = total - out_h
+    if pad:
+        idx_full = np.concatenate([idx_full, np.repeat(idx_full[-1:], pad, 0)])
+        w_full = np.concatenate([w_full, np.repeat(w_full[-1:], pad, 0)])
+    spans = []
+    for b in range(bands):
+        rows = idx_full[b * band_out_h : (b + 1) * band_out_h]
+        spans.append((int(rows.min()), int(rows.max()) + 1))
+    band_src_h = max(hi - lo for lo, hi in spans)
+    band_src_h = min(band_src_h, lap0.shape[0])
+    coarse_h = coarse.shape[0]
+    # coarse halo: rows [lo//2 - 1, (hi-1)//2 + 2) cover every pyrUp tap
+    # (+4: one extra for odd band heights, one for the cut contaminated rows)
+    band_coarse_h = min(band_src_h // 2 + 4, coarse_h)
+
+    out_np = np.empty((total, out_w, lap0.shape[2]), np.uint8 if to_uint8 else np.float32)
+    for b in range(bands):
+        lo, hi = spans[b]
+        lap_start = min(lo, lap0.shape[0] - band_src_h)
+        ci0 = min(max(lap_start // 2 - 1, 0), coarse_h - band_coarse_h)
+        up_offset = lap_start - 2 * ci0
+        rows = idx_full[b * band_out_h : (b + 1) * band_out_h] - lap_start
+        band = _finalize_band(
+            lap0,
+            coarse,
+            jnp.int32(lap_start),
+            jnp.int32(ci0),
+            jnp.int32(up_offset),
+            jnp.asarray(rows.astype(np.int32)),
+            jnp.asarray(w_full[b * band_out_h : (b + 1) * band_out_h]),
+            band_src_h,
+            band_coarse_h,
+            band_out_h,
+            out_w,
+            to_uint8,
+        )
+        out_np[b * band_out_h : (b + 1) * band_out_h] = np.asarray(band)
+    return out_np[:out_h]

@@ -301,11 +301,18 @@ class SuperResolutionPipeline:
         method = self.config.blend_method
         if method == "laplacian":
             profiles = self._weight_profiles(out_layout, image, net_scale)
+            # Defer the level-0 collapse to the banded output programs when
+            # nothing downstream needs the full-res canvas — the collapse of
+            # a 100-200 MP canvas is the worst compile in the pipeline.
+            defer = not (
+                self.config.enable_seam_repair or self.config.enable_color_correction
+            )
             return B.laplacian_fusion_tiles(
                 up_tiles, None, out_layout,
                 levels=self.config.num_pyramid_levels,
                 weight_profiles=profiles,
                 clip_range=None,  # the banded save path clips + quantizes
+                collapse_last=not defer,
             )
         if method == "multi_band":
             weights = self._blend_weights(out_layout, "distance", image, net_scale, "sigmoid")
@@ -444,7 +451,7 @@ class SuperResolutionPipeline:
                 src_dev = jnp.asarray(image, jnp.float32)
                 canvas = _cc(canvas, src_dev, method="histogram", local_filter=False)
 
-            canvas.block_until_ready()
+            jax.block_until_ready(canvas)
             stage_times["blending"] = time.time() - t0
 
             # ---- Stage 4: QA ----
@@ -453,17 +460,27 @@ class SuperResolutionPipeline:
             t0 = time.time()
             quality_report = None
             quality_score = None
+            from .ops.blend import blend_finalize_banded
             from .ops.resize import resize_bicubic_banded
+
+            deferred = isinstance(canvas, tuple)
+
+            def _banded_out(oh, ow, nbands, to_uint8):
+                if deferred:
+                    lap0, coarse = canvas
+                    return blend_finalize_banded(
+                        lap0, coarse, oh, ow, bands=nbands,
+                        crop_h=crop_h, crop_w=crop_w, to_uint8=to_uint8,
+                    )
+                return resize_bicubic_banded(
+                    canvas, oh, ow, bands=nbands, crop_h=crop_h, crop_w=crop_w,
+                    to_uint8=to_uint8,
+                )
 
             crop_h = min(out_layout.padded_h, layout.image_h * net_scale)
             crop_w = min(out_layout.padded_w, layout.image_w * net_scale)
             if self.quality_module is not None:
-                fused_small = np.clip(
-                    resize_bicubic_banded(
-                        canvas, h, w, bands=2, crop_h=crop_h, crop_w=crop_w
-                    ),
-                    0, 255,
-                )
+                fused_small = np.clip(_banded_out(h, w, 2, False), 0, 255)
                 fr = self.quality_module.evaluate_full_reference(image, fused_small)
                 nr = self.quality_module.evaluate_no_reference(fused_small)
                 quality_report = {**fr, **nr}
@@ -483,10 +500,7 @@ class SuperResolutionPipeline:
             # One banded program fuses crop (unpad), exact-size resize,
             # clip and uint8 quantization, streaming row bands over the
             # ~30 MB/s host link at 1 byte/px.
-            fused_np = resize_bicubic_banded(
-                canvas, th, tw, bands=8, crop_h=crop_h, crop_w=crop_w,
-                to_uint8=True,
-            )
+            fused_np = _banded_out(th, tw, 8, True)
             save_image(output_path, fused_np)
             if quality_report:
                 report_path = output_path.rsplit(".", 1)[0] + "_qa_report.json"
