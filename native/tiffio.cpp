@@ -192,3 +192,200 @@ uint64_t srs_hash64(const uint8_t* data, int64_t len) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming writer: rows arrive incrementally (e.g. banded device fetches);
+// strips compress on a thread pool so deflate hides under the transfer.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <condition_variable>
+#include <mutex>
+#include <thread>
+
+namespace {
+
+struct StreamCtx {
+  std::string path;
+  int64_t h, w, channels, bit_depth, compress, level;
+  int64_t rows_per_strip = 0;
+  int64_t num_strips = 0;
+  int64_t rows_received = 0;
+  std::vector<uint8_t> pending;  // partial strip buffer
+  std::vector<std::vector<uint8_t>> strips;
+  std::vector<std::thread> workers;
+  std::atomic<int> errors{0};
+
+  int64_t row_bytes() const { return w * channels * bit_depth / 8; }
+};
+
+bool deflate_level(const uint8_t* src, size_t n, std::vector<uint8_t>& out,
+                   int level) {
+  uLongf bound = compressBound(n);
+  out.resize(bound);
+  if (compress2(out.data(), &bound, src, n, level) != Z_OK) return false;
+  out.resize(bound);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* srs_tiff_begin(const char* path, int64_t h, int64_t w, int64_t channels,
+                     int64_t bit_depth, int64_t compress, int64_t level) {
+  if (h <= 0 || w <= 0 || channels < 1 || channels > 4) return nullptr;
+  if (bit_depth != 8 && bit_depth != 16) return nullptr;
+  auto* ctx = new StreamCtx();
+  ctx->path = path;
+  ctx->h = h;
+  ctx->w = w;
+  ctx->channels = channels;
+  ctx->bit_depth = bit_depth;
+  ctx->compress = compress;
+  ctx->level = level > 0 ? level : 1;
+  ctx->rows_per_strip = (1 << 20) / ctx->row_bytes();
+  if (ctx->rows_per_strip < 1) ctx->rows_per_strip = 1;
+  if (ctx->rows_per_strip > h) ctx->rows_per_strip = h;
+  ctx->num_strips = (h + ctx->rows_per_strip - 1) / ctx->rows_per_strip;
+  ctx->strips.resize(ctx->num_strips);
+  return ctx;
+}
+
+int64_t srs_tiff_write_rows(void* handle, const uint8_t* data, int64_t nrows) {
+  auto* ctx = static_cast<StreamCtx*>(handle);
+  if (!ctx || ctx->rows_received + nrows > ctx->h) return -1;
+  const int64_t rb = ctx->row_bytes();
+  ctx->pending.insert(ctx->pending.end(), data, data + nrows * rb);
+  ctx->rows_received += nrows;
+  const int64_t strip_bytes = ctx->rows_per_strip * rb;
+  while (static_cast<int64_t>(ctx->pending.size()) >= strip_bytes ||
+         (ctx->rows_received == ctx->h && !ctx->pending.empty())) {
+    const size_t take = std::min<size_t>(ctx->pending.size(), strip_bytes);
+    const int64_t strip_idx =
+        (ctx->rows_received * rb - static_cast<int64_t>(ctx->pending.size())) /
+        strip_bytes;
+    std::vector<uint8_t> raw(ctx->pending.begin(), ctx->pending.begin() + take);
+    ctx->pending.erase(ctx->pending.begin(), ctx->pending.begin() + take);
+    if (ctx->compress) {
+      // Bound concurrent compressors (join-all barrier is crude but the
+      // strips are uniform so no thread outlives the batch by much).
+      const size_t max_workers =
+          std::max(2u, std::thread::hardware_concurrency());
+      if (ctx->workers.size() >= 2 * max_workers) {
+        for (auto& t : ctx->workers) t.join();
+        ctx->workers.clear();
+      }
+      auto* c = ctx;
+      ctx->workers.emplace_back([c, strip_idx, raw = std::move(raw)]() {
+        if (!deflate_level(raw.data(), raw.size(), c->strips[strip_idx],
+                           static_cast<int>(c->level)))
+          c->errors.fetch_add(1);
+      });
+    } else {
+      ctx->strips[strip_idx] = std::move(raw);
+    }
+  }
+  return ctx->rows_received;
+}
+
+int64_t srs_tiff_end(void* handle) {
+  auto* ctx = static_cast<StreamCtx*>(handle);
+  if (!ctx) return -1;
+  for (auto& t : ctx->workers) t.join();
+  ctx->workers.clear();
+  int64_t result = -2;
+  if (ctx->rows_received == ctx->h && ctx->errors.load() == 0) {
+    // Reuse the batch writer's layout logic by assembling from the strips.
+    // Build the file directly (same structure as srs_write_tiff).
+    const int64_t channels = ctx->channels, bit_depth = ctx->bit_depth;
+    const int64_t num_strips = ctx->num_strips;
+    std::vector<uint32_t> strip_sizes(num_strips);
+    for (int64_t s = 0; s < num_strips; ++s)
+      strip_sizes[s] = static_cast<uint32_t>(ctx->strips[s].size());
+
+    std::vector<uint8_t> head;
+    head.push_back('I');
+    head.push_back('I');
+    put<uint16_t>(head, 42);
+    const size_t ifd_off_pos = head.size();
+    put<uint32_t>(head, 0);
+
+    uint32_t cursor = 8;
+    const uint32_t bits_off = cursor;
+    const bool needs_bits_array = channels > 2;
+    if (needs_bits_array) cursor += 2 * channels;
+    const uint32_t offsets_off = cursor;
+    const bool arrays_external = num_strips > 1;
+    if (arrays_external) cursor += 4 * num_strips;
+    const uint32_t sizes_off = cursor;
+    if (arrays_external) cursor += 4 * num_strips;
+    const uint32_t data_off = cursor;
+
+    std::vector<uint32_t> strip_offsets(num_strips);
+    {
+      uint32_t o = data_off;
+      for (int64_t s = 0; s < num_strips; ++s) {
+        strip_offsets[s] = o;
+        o += strip_sizes[s];
+      }
+      cursor = o;
+    }
+    const uint32_t ifd_off = cursor;
+    head[ifd_off_pos + 0] = ifd_off & 0xff;
+    head[ifd_off_pos + 1] = (ifd_off >> 8) & 0xff;
+    head[ifd_off_pos + 2] = (ifd_off >> 16) & 0xff;
+    head[ifd_off_pos + 3] = (ifd_off >> 24) & 0xff;
+
+    std::vector<uint8_t> arrays;
+    if (needs_bits_array)
+      for (int64_t c = 0; c < channels; ++c)
+        put<uint16_t>(arrays, static_cast<uint16_t>(bit_depth));
+    if (arrays_external) {
+      for (int64_t s = 0; s < num_strips; ++s) put<uint32_t>(arrays, strip_offsets[s]);
+      for (int64_t s = 0; s < num_strips; ++s) put<uint32_t>(arrays, strip_sizes[s]);
+    }
+
+    std::vector<IfdEntry> entries = {
+        {256, 4, 1, static_cast<uint32_t>(ctx->w)},
+        {257, 4, 1, static_cast<uint32_t>(ctx->h)},
+        {258, 3, static_cast<uint32_t>(channels),
+         needs_bits_array ? bits_off : static_cast<uint32_t>(bit_depth)},
+        {259, 3, 1, static_cast<uint32_t>(ctx->compress ? 8 : 1)},
+        {262, 3, 1, channels >= 3 ? 2u : 1u},
+        {273, 4, static_cast<uint32_t>(num_strips),
+         arrays_external ? offsets_off : strip_offsets[0]},
+        {277, 3, 1, static_cast<uint32_t>(channels)},
+        {278, 4, 1, static_cast<uint32_t>(ctx->rows_per_strip)},
+        {279, 4, static_cast<uint32_t>(num_strips),
+         arrays_external ? sizes_off : strip_sizes[0]},
+        {284, 3, 1, 1},
+    };
+    std::vector<uint8_t> ifd;
+    put<uint16_t>(ifd, static_cast<uint16_t>(entries.size()));
+    for (const auto& e : entries) put_entry(ifd, e);
+    put<uint32_t>(ifd, 0);
+
+    FILE* f = std::fopen(ctx->path.c_str(), "wb");
+    if (f) {
+      int64_t total = 0;
+      auto write_all = [&](const uint8_t* p, size_t n) -> bool {
+        if (n == 0) return true;
+        if (std::fwrite(p, 1, n, f) != n) return false;
+        total += static_cast<int64_t>(n);
+        return true;
+      };
+      bool ok = write_all(head.data(), head.size()) &&
+                write_all(arrays.data(), arrays.size());
+      for (int64_t s = 0; ok && s < num_strips; ++s)
+        ok = write_all(ctx->strips[s].data(), ctx->strips[s].size());
+      if (ok) ok = write_all(ifd.data(), ifd.size());
+      std::fclose(f);
+      if (ok) result = total;
+    }
+  }
+  delete ctx;
+  return result;
+}
+
+}  // extern "C"

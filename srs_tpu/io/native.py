@@ -115,3 +115,60 @@ def content_hash(data: np.ndarray | bytes) -> str:
         data = np.ascontiguousarray(data).tobytes()
     h = lib.srs_hash64(data, len(data))
     return f"{h:016x}"
+
+
+class TiffStreamWriter:
+    """Incremental TIFF writer: feed row bands as they arrive from the
+    device; strips deflate on a C++ thread pool so compression hides under
+    the ~30 MB/s host-link transfer."""
+
+    def __init__(self, path: str, h: int, w: int, channels: int = 3,
+                 bit_depth: int = 8, compress: bool = True, level: int = 1):
+        lib = load()
+        if not hasattr(lib, "_stream_proto_set"):
+            lib.srs_tiff_begin.restype = ctypes.c_void_p
+            lib.srs_tiff_begin.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.srs_tiff_write_rows.restype = ctypes.c_int64
+            lib.srs_tiff_write_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.srs_tiff_end.restype = ctypes.c_int64
+            lib.srs_tiff_end.argtypes = [ctypes.c_void_p]
+            lib._stream_proto_set = True
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._lib = lib
+        self._bit_depth = bit_depth
+        self._ctx = lib.srs_tiff_begin(
+            path.encode(), h, w, channels, bit_depth, 1 if compress else 0, level
+        )
+        if not self._ctx:
+            raise IOError("srs_tiff_begin failed")
+
+    def write(self, rows: np.ndarray) -> None:
+        arr = np.ascontiguousarray(rows)
+        expect = np.uint16 if self._bit_depth == 16 else np.uint8
+        if arr.dtype != expect:
+            raise TypeError(f"rows must be {expect}, got {arr.dtype}")
+        rc = self._lib.srs_tiff_write_rows(
+            self._ctx, arr.ctypes.data_as(ctypes.c_void_p), arr.shape[0]
+        )
+        if rc < 0:
+            raise IOError(f"srs_tiff_write_rows failed ({rc})")
+
+    def close(self) -> int:
+        if self._ctx is None:
+            return 0
+        rc = self._lib.srs_tiff_end(self._ctx)
+        self._ctx = None
+        if rc < 0:
+            raise IOError(f"srs_tiff_end failed ({rc})")
+        return int(rc)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

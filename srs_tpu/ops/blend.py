@@ -585,7 +585,8 @@ def blend_finalize_banded(
     crop_h: Optional[int] = None,
     crop_w: Optional[int] = None,
     to_uint8: bool = False,
-) -> np.ndarray:
+    as_iterator: bool = False,
+):
     """Final pyramid collapse + exact-size resize + quantize, banded.
 
     The level-0 collapse of a 100-200 MP canvas is the single largest
@@ -619,14 +620,16 @@ def blend_finalize_banded(
     # (+4: one extra for odd band heights, one for the cut contaminated rows)
     band_coarse_h = min(band_src_h // 2 + 4, coarse_h)
 
-    out_np = np.empty((total, out_w, lap0.shape[2]), np.uint8 if to_uint8 else np.float32)
+    # Dispatch every band up front (async), then fetch in order: band b+1
+    # computes while band b crosses the host link.
+    handles = []
     for b in range(bands):
         lo, hi = spans[b]
         lap_start = min(lo, lap0.shape[0] - band_src_h)
         ci0 = min(max(lap_start // 2 - 1, 0), coarse_h - band_coarse_h)
         up_offset = lap_start - 2 * ci0
         rows = idx_full[b * band_out_h : (b + 1) * band_out_h] - lap_start
-        band = _finalize_band(
+        handles.append(_finalize_band(
             lap0,
             coarse,
             jnp.int32(lap_start),
@@ -639,6 +642,21 @@ def blend_finalize_banded(
             band_out_h,
             out_w,
             to_uint8,
-        )
-        out_np[b * band_out_h : (b + 1) * band_out_h] = np.asarray(band)
-    return out_np[:out_h]
+        ))
+
+    def bands_iter():
+        remaining = out_h
+        for hnd in handles:
+            arr = np.asarray(hnd)
+            take = min(band_out_h, remaining)
+            remaining -= take
+            yield arr[:take]
+
+    if as_iterator:
+        return bands_iter()
+    out_np = np.empty((out_h, out_w, lap0.shape[2]), np.uint8 if to_uint8 else np.float32)
+    r = 0
+    for arr in bands_iter():
+        out_np[r : r + arr.shape[0]] = arr
+        r += arr.shape[0]
+    return out_np

@@ -204,7 +204,8 @@ def resize_bicubic_banded(
     crop_h: Optional[int] = None,
     crop_w: Optional[int] = None,
     to_uint8: bool = False,
-) -> np.ndarray:
+    as_iterator: bool = False,
+):
     """Print-grade resize: (H, W, C) -> host np array (out_h, out_w, C).
 
     Giant single-program resizes of 100-200 MP canvases compile for
@@ -234,14 +235,12 @@ def resize_bicubic_banded(
         spans.append((int(rows.min()), int(rows.max())))
     band_src_h = max(hi - lo + 1 for lo, hi in spans)
     band_src_h = min(band_src_h, x.shape[0])
-    out_np = np.empty(
-        (total, out_w, x.shape[2]), np.uint8 if to_uint8 else np.float32
-    )
+    handles = []
     for b in range(bands):
         lo, hi = spans[b]
         start = min(lo, x.shape[0] - band_src_h)
         rows = idx_full[b * band_out_h : (b + 1) * band_out_h] - start
-        band = _resize_band(
+        handles.append(_resize_band(
             x,
             jnp.int32(start),
             jnp.asarray(rows.astype(np.int32)),
@@ -251,6 +250,21 @@ def resize_bicubic_banded(
             band_out_h,
             out_w,
             to_uint8,
-        )
-        out_np[b * band_out_h : (b + 1) * band_out_h] = np.asarray(band)
-    return out_np[:out_h]
+        ))
+
+    def bands_iter():
+        remaining = out_h
+        for hnd in handles:
+            arr = np.asarray(hnd)
+            take = min(band_out_h, remaining)
+            remaining -= take
+            yield arr[:take]
+
+    if as_iterator:
+        return bands_iter()
+    out_np = np.empty((out_h, out_w, x.shape[2]), np.uint8 if to_uint8 else np.float32)
+    r = 0
+    for arr in bands_iter():
+        out_np[r : r + arr.shape[0]] = arr
+        r += arr.shape[0]
+    return out_np

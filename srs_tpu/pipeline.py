@@ -465,16 +465,17 @@ class SuperResolutionPipeline:
 
             deferred = isinstance(canvas, tuple)
 
-            def _banded_out(oh, ow, nbands, to_uint8):
+            def _banded_out(oh, ow, nbands, to_uint8, as_iterator=False):
                 if deferred:
                     lap0, coarse = canvas
                     return blend_finalize_banded(
                         lap0, coarse, oh, ow, bands=nbands,
                         crop_h=crop_h, crop_w=crop_w, to_uint8=to_uint8,
+                        as_iterator=as_iterator,
                     )
                 return resize_bicubic_banded(
                     canvas, oh, ow, bands=nbands, crop_h=crop_h, crop_w=crop_w,
-                    to_uint8=to_uint8,
+                    to_uint8=to_uint8, as_iterator=as_iterator,
                 )
 
             crop_h = min(out_layout.padded_h, layout.image_h * net_scale)
@@ -500,8 +501,23 @@ class SuperResolutionPipeline:
             # One banded program fuses crop (unpad), exact-size resize,
             # clip and uint8 quantization, streaming row bands over the
             # ~30 MB/s host link at 1 byte/px.
-            fused_np = _banded_out(th, tw, 8, True)
-            save_image(output_path, fused_np)
+            # TIFF outputs stream band-by-band into the native writer:
+            # band b+1 computes + crosses the link while band b deflates on
+            # the C++ thread pool.
+            streamed = False
+            if output_path.lower().endswith((".tiff", ".tif")):
+                try:
+                    from .io.native import TiffStreamWriter
+
+                    with TiffStreamWriter(output_path, th, tw) as writer:
+                        for band in _banded_out(th, tw, 8, True, as_iterator=True):
+                            writer.write(band)
+                    streamed = True
+                except (ImportError, OSError):
+                    pass
+            if not streamed:
+                fused_np = _banded_out(th, tw, 8, True)
+                save_image(output_path, fused_np)
             if quality_report:
                 report_path = output_path.rsplit(".", 1)[0] + "_qa_report.json"
                 with open(report_path, "w", encoding="utf-8") as f:
