@@ -507,9 +507,15 @@ class SuperResolutionPipeline:
             streamed = False
             if output_path.lower().endswith((".tiff", ".tif")):
                 try:
+                    import os as _os
+
                     from .io.native import TiffStreamWriter
 
-                    with TiffStreamWriter(output_path, th, tw) as writer:
+                    # Deflate is pure loss on a single-core host: it
+                    # serializes with the device-link transfer instead of
+                    # hiding under it.
+                    _compress = (_os.cpu_count() or 1) > 1
+                    with TiffStreamWriter(output_path, th, tw, compress=_compress) as writer:
                         for band in _banded_out(th, tw, 8, True, as_iterator=True):
                             writer.write(band)
                     streamed = True
