@@ -539,8 +539,7 @@ def _finalize_band(
     lap_start: jax.Array,
     coarse_start: jax.Array,
     up_offset: jax.Array,
-    idx_y: jax.Array,
-    wy: jax.Array,
+    r_h: jax.Array,
     band_src_h: int,
     band_coarse_h: int,
     band_out_h: int,
@@ -564,13 +563,21 @@ def _finalize_band(
         up, (up_offset, 0, 0), (band_src_h, lap0.shape[1], c)
     )
     canvas_band = lap_band + up_band
-    taps = canvas_band[idx_y.reshape(-1)].reshape(
-        band_out_h, 4, canvas_band.shape[1], c
+    # Vertical taps as one banded matmul; W resize via blocked matmuls —
+    # TPU gathers run at scalar speed, the MXU is idle here anyway.
+    rows = jnp.einsum(
+        "oj,jwc->owc", r_h, canvas_band, precision=jax.lax.Precision.HIGHEST
     )
-    rows = jnp.einsum("otwc,ot->owc", taps, wy)
-    from .resize import _resize_axis
+    from .resize import _down_axis_int, _resize_w_blocked, _w_block_plan
 
-    out = _resize_axis(rows, 1, out_w)
+    src_w = lap0.shape[1]
+    if src_w == out_w:
+        out = rows
+    elif src_w % out_w == 0:
+        out = _down_axis_int(rows, 1, src_w // out_w)
+    else:
+        starts, src_b, out_b, mats = _w_block_plan(src_w, out_w)
+        out = _resize_w_blocked(rows, out_w, jnp.asarray(mats), starts, src_b, out_b)
     if to_uint8:
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     return out
@@ -629,14 +636,18 @@ def blend_finalize_banded(
         ci0 = min(max(lap_start // 2 - 1, 0), coarse_h - band_coarse_h)
         up_offset = lap_start - 2 * ci0
         rows = idx_full[b * band_out_h : (b + 1) * band_out_h] - lap_start
+        from .resize import _band_matrix
+
+        r_h = _band_matrix(
+            rows, w_full[b * band_out_h : (b + 1) * band_out_h], band_src_h
+        )
         handles.append(_finalize_band(
             lap0,
             coarse,
             jnp.int32(lap_start),
             jnp.int32(ci0),
             jnp.int32(up_offset),
-            jnp.asarray(rows.astype(np.int32)),
-            jnp.asarray(w_full[b * band_out_h : (b + 1) * band_out_h]),
+            jnp.asarray(r_h),
             band_src_h,
             band_coarse_h,
             band_out_h,

@@ -171,12 +171,66 @@ def resize_bicubic_up(x: jax.Array, scale: int) -> jax.Array:
     return _up_axis(_up_axis(x, ah, scale), aw, scale)
 
 
+
+
+def _band_matrix(idx: np.ndarray, w: np.ndarray, src_n: int) -> np.ndarray:
+    """Dense [out, src_n] resize operator from a 4-tap plan (MXU path:
+    gathers execute at scalar speed on TPU; a banded matmul is ~free)."""
+    out = idx.shape[0]
+    r = np.zeros((out, src_n), np.float32)
+    for t in range(4):
+        r[np.arange(out), idx[:, t]] += w[:, t]
+    return r
+
+
+@lru_cache(maxsize=32)
+def _w_block_plan(src_n: int, dst_n: int, block: int = 2048):
+    """Column-blocked resize operators: (starts, src_b, out_b, R [nb, src_b, out_b]).
+
+    A full [src_n, dst_n] operator at print width is ~0.5 GB; uniform
+    column blocks keep each operator a few MB while staying one compiled
+    program (static starts, unrolled)."""
+    idx, w = _axis_plan(src_n, dst_n)
+    nb = -(-dst_n // block)
+    out_b = block
+    spans = []
+    for b in range(nb):
+        o0, o1 = b * block, min((b + 1) * block, dst_n)
+        rows = idx[o0:o1]
+        spans.append((int(rows.min()), int(rows.max()) + 1))
+    src_b = min(max(hi - lo for lo, hi in spans), src_n)
+    starts = []
+    mats = np.zeros((nb, src_b, out_b), np.float32)
+    for b in range(nb):
+        o0, o1 = b * block, min((b + 1) * block, dst_n)
+        lo, hi = spans[b]
+        start = min(lo, src_n - src_b)
+        starts.append(start)
+        rel = idx[o0:o1] - start
+        r = _band_matrix(rel, w[o0:o1], src_b)  # [o1-o0, src_b]
+        mats[b, :, : o1 - o0] = r.T
+    return tuple(starts), src_b, out_b, mats
+
+
+def _resize_w_blocked(x: jax.Array, dst_n: int, mats: jax.Array, starts, src_b: int,
+                      out_b: int) -> jax.Array:
+    """W-axis resize of (H, W, C) via unrolled static-slice matmuls."""
+    h, _, c = x.shape
+    outs = []
+    for b, start in enumerate(starts):
+        src = jax.lax.slice(x, (0, start, 0), (h, start + src_b, c))
+        outs.append(jnp.einsum(
+            "hjc,jo->hoc", src, mats[b], precision=jax.lax.Precision.HIGHEST
+        ))
+    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+    return jax.lax.slice(out, (0, 0, 0), (h, dst_n, c))
+
+
 @partial(jax.jit, static_argnames=("src_h0", "band_src_h", "band_out_h", "out_w", "to_uint8"))
 def _resize_band(
     x: jax.Array,
     src_start: jax.Array,
-    idx_y: jax.Array,
-    wy: jax.Array,
+    r_h: jax.Array,
     src_h0: int,
     band_src_h: int,
     band_out_h: int,
@@ -187,10 +241,17 @@ def _resize_band(
     src = jax.lax.dynamic_slice(
         x, (src_start, 0, 0), (band_src_h, x.shape[1], x.shape[2])
     )
-    # vertical taps: idx_y [band_out_h, 4] are indices into the band
-    taps = src[idx_y.reshape(-1)].reshape(band_out_h, 4, src.shape[1], src.shape[2])
-    rows = jnp.einsum("otwc,ot->owc", taps, wy)
-    out = _resize_axis(rows, 1, out_w)
+    # Vertical taps as one banded matmul (r_h [out, band_src_h]); gathers
+    # run at scalar speed on TPU, matmuls on the MXU.
+    rows = jnp.einsum("oj,jwc->owc", r_h, src, precision=jax.lax.Precision.HIGHEST)
+    src_w = x.shape[1]
+    if src_w == out_w:
+        out = rows
+    elif src_w % out_w == 0:
+        out = _down_axis_int(rows, 1, src_w // out_w)
+    else:
+        starts, src_b, out_b, mats = _w_block_plan(src_w, out_w)
+        out = _resize_w_blocked(rows, out_w, jnp.asarray(mats), starts, src_b, out_b)
     if to_uint8:
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     return out
@@ -240,11 +301,11 @@ def resize_bicubic_banded(
         lo, hi = spans[b]
         start = min(lo, x.shape[0] - band_src_h)
         rows = idx_full[b * band_out_h : (b + 1) * band_out_h] - start
+        r_h = _band_matrix(rows, w_full[b * band_out_h : (b + 1) * band_out_h], band_src_h)
         handles.append(_resize_band(
             x,
             jnp.int32(start),
-            jnp.asarray(rows.astype(np.int32)),
-            jnp.asarray(w_full[b * band_out_h : (b + 1) * band_out_h]),
+            jnp.asarray(r_h),
             src_h,
             band_src_h,
             band_out_h,
