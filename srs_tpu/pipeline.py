@@ -480,6 +480,11 @@ class SuperResolutionPipeline:
 
             crop_h = min(out_layout.padded_h, layout.image_h * net_scale)
             crop_w = min(out_layout.padded_w, layout.image_w * net_scale)
+
+            # Dispatch the save bands NOW (async): their device compute and
+            # host-link transfer overlap the QA stage below.
+            save_bands = _banded_out(th, tw, 8, True, as_iterator=True)
+
             if self.quality_module is not None:
                 fused_small = np.clip(_banded_out(h, w, 2, False), 0, 255)
                 fr = self.quality_module.evaluate_full_reference(image, fused_small)
@@ -516,13 +521,14 @@ class SuperResolutionPipeline:
                     # hiding under it.
                     _compress = (_os.cpu_count() or 1) > 1
                     with TiffStreamWriter(output_path, th, tw, compress=_compress) as writer:
-                        for band in _banded_out(th, tw, 8, True, as_iterator=True):
+                        for band in save_bands:
                             writer.write(band)
                     streamed = True
                 except (ImportError, OSError):
                     pass
             if not streamed:
-                fused_np = _banded_out(th, tw, 8, True)
+                rows = list(save_bands)
+                fused_np = np.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
                 save_image(output_path, fused_np)
             if quality_report:
                 report_path = output_path.rsplit(".", 1)[0] + "_qa_report.json"
