@@ -33,12 +33,9 @@ from .config import RESOLUTION_PRESETS, SystemConfig
 from .io.image import load_image, save_image
 from .models.sr_module import SuperResolutionModule
 from .ops import blend as B
-from .ops.resize import resize_bicubic
-from .ops.tiles import extract_tiles, pad_image, unpad_image
 from .ops.weights import layout_weights
 from .qa.module import QualityAssessmentModule
-from .scheduler.scheduler import AgentScheduler, Task, TaskStatus
-from .tiling.geometry import compute_layout
+from .scheduler.scheduler import AgentScheduler, Task
 from .tiling.tiling import TilingModule
 
 logger = logging.getLogger("srs_tpu.pipeline")

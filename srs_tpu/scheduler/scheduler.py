@@ -580,6 +580,28 @@ class AgentScheduler:
         self._stats.update(payload.get("stats", {}))
         return True
 
+    # -- result access (reference docstring API, agent_scheduler.py:325) ---
+    async def get_task_result(
+        self, task_id: str, timeout: float = 0.0, poll: float = 0.05
+    ) -> Optional[Dict[str, Any]]:
+        """Result payload for a task; with ``timeout`` > 0, waits for a
+        terminal state."""
+        deadline = time.time() + timeout
+        while True:
+            task = self._tasks.get(task_id)
+            if task is None:
+                return None
+            if task.status == TaskStatus.SUCCESS:
+                return task.result_data
+            if task.status == TaskStatus.FAILED:
+                return None
+            if timeout <= 0 or time.time() >= deadline:
+                return task.result_data
+            await asyncio.sleep(poll)
+
+    def get_task(self, task_id: str) -> Optional[Task]:
+        return self._tasks.get(task_id)
+
     # -- stats (reference: agent_scheduler.py:1189-1230) -------------------
     def get_statistics(self) -> Dict[str, Any]:
         status_counts: Dict[str, int] = {}
@@ -610,3 +632,5 @@ class AgentScheduler:
             },
             "uptime": time.time() - self._stats["start_time"],
         }
+
+

@@ -273,3 +273,20 @@ def test_task_serialization_roundtrip():
     assert t2.vip_level == VIPLevel.GOLD
     assert t2.target_resolution == (10, 20)
     assert t2.priority == t.priority
+
+
+def test_get_task_result():
+    async def go():
+        s = AgentScheduler(initial_agents=1)
+        task = Task()
+        await s.submit_task(task)
+        await s._dispatch_tasks()
+        assert await s.get_task_result("missing") is None
+        await s.collect_result(
+            task.task_id, {"output_path": "", "width": 1, "height": 1, "color_mode": "RGB"}
+        )
+        res = await s.get_task_result(task.task_id, timeout=1.0)
+        assert res is not None and res["width"] == 1
+        assert s.get_task(task.task_id) is task
+
+    run(go())
