@@ -88,3 +88,39 @@ def test_sharded_training_step(rng):
     params2, opt2, metrics = train_step(model.apply, params, opt_state, tx, lr_b, hr_b)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_sharded_laplacian_blend_matches_single_device(rng):
+    """The full multi-chip blend (SURVEY config[4]): per-level spill
+    ppermutes + collapse halo exchange == single-device canvas pyramid."""
+    from srs_tpu.ops import blend as B
+    from srs_tpu.ops.weights import layout_weight_profiles
+    from srs_tpu.parallel.halo import sharded_laplacian_blend
+
+    for S in (2, 4, 8):
+        mesh = make_mesh({"space": S})
+        lo = compute_layout(300, 8 * 96 + 32, 128, 0.25, step_multiple=32)
+        assert lo.ny % S == 0
+        img = rng.random((lo.image_h, lo.image_w, 3), dtype=np.float32) * 255
+        tiles = extract_tiles(pad_image(jnp.asarray(img), lo), lo)
+        prof = layout_weight_profiles(lo)
+        ref = np.asarray(
+            B.laplacian_fusion_tiles(
+                jnp.array(tiles), None, lo, levels=4,
+                weight_profiles=prof, clip_range=None,
+            )
+        )
+        got = np.asarray(sharded_laplacian_blend(tiles, *prof, lo, mesh, levels=4))
+        np.testing.assert_allclose(got, ref[: got.shape[0]], atol=2e-4)
+
+
+def test_sharded_laplacian_blend_validates_rows(rng):
+    from srs_tpu.ops.weights import layout_weight_profiles
+    from srs_tpu.parallel.halo import sharded_laplacian_blend
+
+    mesh = make_mesh({"space": 8})
+    lo = compute_layout(200, 200, 128, 0.25, step_multiple=32)  # ny=2
+    tiles = jnp.zeros((lo.num_tiles, lo.block, lo.block, 3))
+    prof = layout_weight_profiles(lo)
+    with pytest.raises(ValueError):
+        sharded_laplacian_blend(tiles, *prof, lo, mesh)
