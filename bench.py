@@ -66,6 +66,19 @@ def main() -> None:
                           "vs_baseline": 0, "error": r0.error_message}))
         sys.exit(1)
 
+    # Probe the device->host link: this environment tunnels the TPU and the
+    # downlink throughput varies 0.3-30 MB/s across sessions; the save
+    # stage ships ~250 MB of uint8 output, so e2e time is link-weather
+    # dependent. Report the observed rate alongside the result.
+    import jax
+    import jax.numpy as jnp
+
+    probe = jnp.zeros((8, 512, 512), jnp.uint8)
+    probe.block_until_ready()
+    t0 = time.time()
+    np.asarray(probe)
+    link_mbps = 2.0 / max(time.time() - t0, 1e-6)
+
     t0 = time.time()
     r = pipe.process(inp, out)
     elapsed = time.time() - t0
@@ -88,6 +101,7 @@ def main() -> None:
         "stage_times": {k: round(v, 2) for k, v in r.stage_times.items()},
         "quality_score": r.quality_score,
         "provider": cfg.provider,
+        "d2h_link_MBps": round(link_mbps, 1),
     }
     print(json.dumps(result))
 
