@@ -93,7 +93,11 @@ def build_model(
     module = spec.ctor(**kwargs)
     params = _try_load_checkpoint(name, kwargs["scale"], checkpoint_dir)
     if params is None:
-        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
-        params = module.init(jax.random.PRNGKey(0), dummy)
+        # build_model may be reached from inside a jit trace (e.g. the
+        # mesh dispatcher jitting the whole SR ladder); force a concrete
+        # init so tracers never leak into the global cache.
+        with jax.ensure_compile_time_eval():
+            dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+            params = module.init(jax.random.PRNGKey(0), dummy)
     _CACHE[key] = (module, params)
     return module, params

@@ -55,6 +55,13 @@ class MeshTileDispatcher:
         out = self._jitted[key](padded)
         return out[:n0]
 
+    def _space_ok(self, layout: TileLayout) -> bool:
+        return (
+            "space" in self.mesh.shape
+            and self.mesh.shape["space"] > 1
+            and layout.ny % self.mesh.shape["space"] == 0
+        )
+
     def merge(
         self,
         tiles: jax.Array,
@@ -63,10 +70,31 @@ class MeshTileDispatcher:
     ) -> jax.Array:
         """Halo-exchange merge over the ``space`` axis when present (and
         the row count divides); single-device merge otherwise."""
-        if "space" in self.mesh.shape and self.mesh.shape["space"] > 1 and (
-            layout.ny % self.mesh.shape["space"] == 0
-        ):
+        if self._space_ok(layout):
             return sharded_weighted_merge(tiles, weights, layout, self.mesh)
         from ..ops.tiles import merge_tiles
 
         return merge_tiles(tiles, weights, layout)
+
+    def laplacian_blend(
+        self,
+        tiles: jax.Array,
+        weight_profiles,
+        layout: TileLayout,
+        levels: int = 6,
+    ):
+        """Canvas-pyramid blend sharded over ``space`` when possible;
+        single-device profile blend otherwise. Returns the owned canvas
+        rows ([S*own(+tail), W, C]) — same coverage as the single-device
+        padded canvas."""
+        if self._space_ok(layout):
+            from .halo import sharded_laplacian_blend
+
+            wy, wx = weight_profiles
+            return sharded_laplacian_blend(tiles, wy, wx, layout, self.mesh, levels)
+        from ..ops.blend import laplacian_fusion_tiles
+
+        return laplacian_fusion_tiles(
+            tiles, None, layout, levels=levels,
+            weight_profiles=weight_profiles, clip_range=None,
+        )

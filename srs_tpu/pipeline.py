@@ -298,6 +298,18 @@ class SuperResolutionPipeline:
         method = self.config.blend_method
         if method == "laplacian":
             profiles = self._weight_profiles(out_layout, image, net_scale)
+            # Sharded blend when a space axis is configured and divides the
+            # tile rows (canvas never materializes on one chip).
+            if (
+                self.dispatcher is not None
+                and self.dispatcher._space_ok(out_layout)
+                and not self.config.enable_seam_repair
+                and not self.config.enable_color_correction
+            ):
+                return self.dispatcher.laplacian_blend(
+                    up_tiles, profiles, out_layout,
+                    levels=self.config.num_pyramid_levels,
+                )
             # Defer the level-0 collapse to the banded output programs when
             # nothing downstream needs the full-res canvas — the collapse of
             # a 100-200 MP canvas is the worst compile in the pipeline.

@@ -194,3 +194,37 @@ def test_process_batch_priority_order(input_png, tmp_path):
     results = pipe.process_batch(jobs)
     assert len(results) == 2 and all(r.success for r in results)
     assert os.path.exists(str(tmp_path / "v.png"))
+
+
+def test_mesh_space_sharded_blend(tmp_path):
+    """Laplacian blend sharded over the space axis inside the pipeline."""
+    r = np.random.default_rng(9)
+    img = np.clip(
+        127 + 90 * np.sin(np.mgrid[0:160, 0:160][1].astype(np.float32) / 11)[..., None]
+        + r.normal(0, 2, (160, 160, 1)),
+        0, 255,
+    ).astype(np.uint8).repeat(3, axis=-1)
+    p = str(tmp_path / "in.png")
+    Image.fromarray(img).save(p)
+    out = str(tmp_path / "out.png")
+    pipe = SuperResolutionPipeline(
+        _cfg(block_size=64, target_resolution="320x320", provider="fast",
+             mesh_shape={"data": 2, "space": 4}, enable_qa=False,
+             num_pyramid_levels=3)
+    )
+    result = pipe.process(p, out)
+    assert result.success, result.error_message
+    # ny = 4 divides space=4 -> the sharded path ran
+    lo = pipe.tiling_module._layouts[list(pipe.tiling_module._layouts)[0]]
+    assert lo.ny % 4 == 0
+    with Image.open(out) as im:
+        assert im.size == (320, 320)
+    # output quality sanity: downsample-consistent with the input
+    from srs_tpu.ops.resize import resize_bicubic
+    from srs_tpu.qa.metrics import psnr
+    import jax.numpy as jnp
+
+    with Image.open(out) as im:
+        arr = np.asarray(im, dtype=np.float32)
+    small = np.asarray(resize_bicubic(jnp.asarray(arr), 160, 160))
+    assert float(psnr(jnp.asarray(img.astype(np.float32)), jnp.asarray(small))) > 30
