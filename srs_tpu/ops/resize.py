@@ -252,6 +252,8 @@ def _resize_band(
     else:
         starts, src_b, out_b, mats = _w_block_plan(src_w, out_w)
         out = _resize_w_blocked(rows, out_w, jnp.asarray(mats), starts, src_b, out_b)
+    if to_uint8 == "uint16":
+        return jnp.clip(jnp.round(out * 257.0), 0, 65535).astype(jnp.uint16)
     if to_uint8:
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     return out
@@ -323,7 +325,8 @@ def resize_bicubic_banded(
 
     if as_iterator:
         return bands_iter()
-    out_np = np.empty((out_h, out_w, x.shape[2]), np.uint8 if to_uint8 else np.float32)
+    _dt = np.uint16 if to_uint8 == "uint16" else (np.uint8 if to_uint8 else np.float32)
+    out_np = np.empty((out_h, out_w, x.shape[2]), _dt)
     r = 0
     for arr in bands_iter():
         out_np[r : r + arr.shape[0]] = arr

@@ -63,6 +63,7 @@ class PipelineConfig:
     content_aware: bool = False  # seam placement avoids faces/text/saliency
     # Device mesh, e.g. {"data": 4, "space": 2}; None = single device.
     mesh_shape: Optional[Dict[str, int]] = None
+    bit_depth: int = 8  # 8 or 16 (16-bit TIFF via the native writer)
     enable_seam_repair: bool = False  # post-blend seam QA + repair pass
     enable_color_correction: bool = False  # histogram-match to source
     seam_threshold: float = 0.95
@@ -492,7 +493,8 @@ class SuperResolutionPipeline:
 
             # Dispatch the save bands NOW (async): their device compute and
             # host-link transfer overlap the QA stage below.
-            save_bands = _banded_out(th, tw, 8, True, as_iterator=True)
+            quant = "uint16" if self.config.bit_depth == 16 else True
+            save_bands = _banded_out(th, tw, 8, quant, as_iterator=True)
 
             if self.quality_module is not None:
                 fused_small = np.clip(_banded_out(h, w, 2, False), 0, 255)
@@ -513,8 +515,8 @@ class SuperResolutionPipeline:
             # ---- Stage 5: save ----
             t0 = time.time()
             # One banded program fuses crop (unpad), exact-size resize,
-            # clip and uint8 quantization, streaming row bands over the
-            # ~30 MB/s host link at 1 byte/px.
+            # clip and quantization, streaming row bands over the host
+            # link at 1 (or 2) bytes/px.
             # TIFF outputs stream band-by-band into the native writer:
             # band b+1 computes + crosses the link while band b deflates on
             # the C++ thread pool.
@@ -529,7 +531,10 @@ class SuperResolutionPipeline:
                     # serializes with the device-link transfer instead of
                     # hiding under it.
                     _compress = (_os.cpu_count() or 1) > 1
-                    with TiffStreamWriter(output_path, th, tw, compress=_compress) as writer:
+                    with TiffStreamWriter(
+                        output_path, th, tw, bit_depth=self.config.bit_depth,
+                        compress=_compress,
+                    ) as writer:
                         for band in save_bands:
                             writer.write(band)
                     streamed = True
@@ -538,6 +543,8 @@ class SuperResolutionPipeline:
             if not streamed:
                 rows = list(save_bands)
                 fused_np = np.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+                if fused_np.dtype == np.uint16:  # PIL path is 8-bit only
+                    fused_np = (fused_np // 257).astype(np.uint8)
                 save_image(output_path, fused_np)
             if quality_report:
                 report_path = output_path.rsplit(".", 1)[0] + "_qa_report.json"

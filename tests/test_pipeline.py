@@ -228,3 +228,17 @@ def test_mesh_space_sharded_blend(tmp_path):
         arr = np.asarray(im, dtype=np.float32)
     small = np.asarray(resize_bicubic(jnp.asarray(arr), 160, 160))
     assert float(psnr(jnp.asarray(img.astype(np.float32)), jnp.asarray(small))) > 30
+
+
+def test_16bit_tiff_output(input_png, tmp_path):
+    import cv2
+
+    out = str(tmp_path / "deep.tiff")
+    pipe = SuperResolutionPipeline(_cfg(bit_depth=16, enable_qa=False))
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    back = cv2.imread(out, cv2.IMREAD_UNCHANGED)
+    assert back is not None and back.dtype == np.uint16
+    assert back.shape[:2] == (240, 320)
+    # 16-bit values span the full range (not 8-bit scaled into 16)
+    assert back.max() > 255
