@@ -202,11 +202,15 @@ class BlendingModule:
         overlay: np.ndarray,
         mask: np.ndarray,
         mode: PoissonMode = PoissonMode.NORMAL,
+        solver: str = "multigrid",
     ) -> np.ndarray:
         """Seamless clone of ``overlay`` into ``base`` under ``mask``
-        (reference: blending:563-625 wrapping cv2.seamlessClone)."""
+        (reference: blending:563-625 wrapping cv2.seamlessClone).
+        ``solver='multigrid'`` (default) converges at print scale;
+        ``'jacobi'`` is the cheap small-patch relaxation."""
         m = mode.value if isinstance(mode, PoissonMode) else mode
-        out = B.seamless_clone(
+        fn = B.seamless_clone_multigrid if solver == "multigrid" else B.seamless_clone
+        out = fn(
             jnp.asarray(base, jnp.float32), jnp.asarray(overlay, jnp.float32),
             jnp.asarray(mask, jnp.float32), mode=m,
         )

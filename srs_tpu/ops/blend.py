@@ -35,6 +35,7 @@ from .pyramid import (
     build_gaussian_pyramid,
     build_laplacian_pyramid,
     collapse_laplacian_pyramid,
+    pyr_down,
     pyr_up,
 )
 from .tiles import merge_tiles
@@ -46,6 +47,7 @@ __all__ = [
     "gradient_domain_fusion_tiles",
     "poisson_solve_neumann",
     "seamless_clone",
+    "seamless_clone_multigrid",
 ]
 
 
@@ -674,3 +676,84 @@ def blend_finalize_banded(
         out_np[r : r + arr.shape[0]] = arr
         r += arr.shape[0]
     return out_np
+
+
+def _masked_jacobi(u, div, m, dst, iters):
+    def shift(a, dy_, dx_):
+        return jnp.roll(jnp.roll(a, dy_, axis=0), dx_, axis=1)
+
+    def body(_, u):
+        nb = shift(u, 1, 0) + shift(u, -1, 0) + shift(u, 0, 1) + shift(u, 0, -1)
+        upd = (nb - div) * 0.25
+        return dst * (1 - m) + upd * m
+
+    return jax.lax.fori_loop(0, iters, body, u)
+
+
+def _laplace(u):
+    def shift(a, dy_, dx_):
+        return jnp.roll(jnp.roll(a, dy_, axis=0), dx_, axis=1)
+
+    return shift(u, 1, 0) + shift(u, -1, 0) + shift(u, 0, 1) + shift(u, 0, -1) - 4.0 * u
+
+
+def _vcycle(u, div, m, dst, depth, nu=12):
+    """One multigrid V-cycle for lap(u)=div inside mask m (Dirichlet=dst).
+
+    Restriction/prolongation reuse the cv2-parity pyramid kernels; the
+    coarse-grid equation keeps the 5-point stencil (Galerkin-ish, good
+    enough for seam-scale masks). Static recursion depth."""
+    u = _masked_jacobi(u, div, m, dst, nu)
+    if depth > 0 and min(u.shape[0], u.shape[1]) >= 8:
+        r = (div - _laplace(u)) * m
+        # Restrict: pyrDown of the residual; scale by 4 (h^2 factor of the
+        # coarse stencil), coarse mask = strict interior of the fine mask.
+        r_c = pyr_down(r) * 4.0
+        m_c = (pyr_down(m) > 0.999).astype(jnp.float32)
+        zero = jnp.zeros_like(r_c)
+        e_c = _vcycle(zero, r_c, m_c, zero, depth - 1, nu)
+        e = pyr_up(e_c, (u.shape[0], u.shape[1]))
+        u = u + e * m
+    return _masked_jacobi(u, div, m, dst, nu)
+
+
+@partial(jax.jit, static_argnames=("mode", "cycles", "depth"))
+def seamless_clone_multigrid(
+    dst: jax.Array,
+    src: jax.Array,
+    mask: jax.Array,
+    mode: str = "normal",
+    cycles: int = 6,
+    depth: int = 5,
+) -> jax.Array:
+    """Multigrid Poisson editing: same equation as :func:`seamless_clone`
+    but solved with V-cycles — converges at print scale where fixed-count
+    Jacobi stalls (low-frequency error decays once per cycle instead of
+    once per ~N^2 sweeps)."""
+    dst = dst.astype(jnp.float32)
+    src = src.astype(jnp.float32)
+    m = (mask > 0).astype(jnp.float32)
+    if m.ndim == 2:
+        m = m[..., None]
+
+    def grads(img):
+        gx = jnp.diff(img, axis=1, append=img[:, -1:])
+        gy = jnp.diff(img, axis=0, append=img[-1:])
+        return gx, gy
+
+    sx, sy = grads(src)
+    if mode == "monochrome":
+        gray = (0.299 * src[..., 0] + 0.587 * src[..., 1] + 0.114 * src[..., 2])[..., None]
+        sx, sy = grads(jnp.broadcast_to(gray, src.shape))
+    dx, dy = grads(dst)
+    if mode == "mixed":
+        sx = jnp.where(jnp.abs(dx) > jnp.abs(sx), dx, sx)
+        sy = jnp.where(jnp.abs(dy) > jnp.abs(sy), dy, sy)
+    div = (
+        sx - jnp.concatenate([jnp.zeros_like(sx[:, :1]), sx[:, :-1]], axis=1)
+        + sy - jnp.concatenate([jnp.zeros_like(sy[:1]), sy[:-1]], axis=0)
+    )
+    u = dst * (1 - m) + src * m
+    for _ in range(cycles):
+        u = _vcycle(u, div, m, dst, depth)
+    return u
