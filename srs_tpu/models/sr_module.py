@@ -376,6 +376,34 @@ class SuperResolutionModule:
             )
         return self.hybrid_upscale(image, cfg.target_scale, cfg.category)
 
+    # -- zero-shot self-supervised refinement ------------------------------
+    def zssr_prepare(
+        self,
+        image: ImageLike,
+        scale: int = 2,
+        steps: int = 150,
+        patch: int = 48,
+        batch: int = 8,
+        lr: float = 5e-4,
+    ) -> None:
+        """Fine-tune the fast net on the input image itself (ZSSR,
+        Shocher et al. 2018): downscale-degrade the image for LR/HR pairs
+        so the net learns this image's internal statistics, then serve the
+        tuned params for subsequent ``provider='zssr'`` upscales."""
+        from .train import zssr_finetune
+
+        arr, _, had_batch = self._to_batch(image)
+        img = np.asarray(arr[0] if not had_batch else arr[0])
+        module, params = build_model(
+            self.config.fast_model, scale, self.config.checkpoint_dir,
+            dtype=jnp.dtype(self.config.compute_dtype),
+        )
+        tuned = zssr_finetune(
+            module, params, img, scale=scale, steps=steps, patch=patch,
+            batch=batch, lr=lr,
+        )
+        self._apply_fns[("zssr", scale)] = jax.jit(lambda x: module.apply(tuned, x))
+
     # -- batch device path (pipeline hot path) -----------------------------
     def upscale_tiles(
         self, tiles: jax.Array, scale: int, provider: str = "quality", steps: int = 0
@@ -387,7 +415,12 @@ class SuperResolutionModule:
         use."""
         if provider == "bicubic":
             return resize_bicubic_up(tiles, scale)
-        role = "quality" if provider in ("quality", "seedream", "hybrid") else "fast"
+        if provider == "zssr" and ("zssr", scale) in self._apply_fns:
+            out = self._apply_fns[("zssr", scale)](tiles)
+            if steps > 0:
+                out = back_project(out, tiles, scale, steps=steps)
+            return jnp.clip(out, 0, 255)
+        role = "quality" if provider in ("quality", "seedream", "hybrid", "zssr") else "fast"
         out = self._net(role, scale)(tiles)
         if provider in ("hybrid",):
             out = self._net("polish", 1)(out)

@@ -58,7 +58,8 @@ class PipelineConfig:
     max_concurrent: int = 30
     enable_qa: bool = True
     qa_device: str = "tpu"
-    provider: str = "quality"  # quality | fast | hybrid | bicubic
+    provider: str = "quality"  # quality | fast | hybrid | bicubic | zssr
+    zssr_steps: int = 150  # self-supervised finetune steps for provider=zssr
     ibp_steps: int = 8  # back-projection refinement steps on the tile batch
     content_aware: bool = False  # seam placement avoids faces/text/saliency
     # Device mesh, e.g. {"data": 4, "space": 2}; None = single device.
@@ -420,6 +421,13 @@ class SuperResolutionPipeline:
 
             # ---- Stage 2: parallel SR ----
             t0 = time.time()
+            if self.config.provider == "zssr" and ladder:
+                # Zero-shot SR: fine-tune on the input itself so the net
+                # learns this image's internal statistics (the on-device
+                # analog of a per-image "quality" engine).
+                self.sr_module.zssr_prepare(
+                    image, scale=ladder[0], steps=self.config.zssr_steps
+                )
             tasks = self._book_tasks(layout.num_tiles, output_path, scale_total)
             up_tiles = self._upscale_batch(tiles, ladder)
             up_tiles.block_until_ready()

@@ -242,3 +242,13 @@ def test_16bit_tiff_output(input_png, tmp_path):
     assert back.shape[:2] == (240, 320)
     # 16-bit values span the full range (not 8-bit scaled into 16)
     assert back.max() > 255
+
+
+def test_zssr_provider(input_png, tmp_path):
+    out = str(tmp_path / "zssr.png")
+    pipe = SuperResolutionPipeline(
+        _cfg(provider="zssr", zssr_steps=8, ibp_steps=2)
+    )
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    assert result.quality_report["psnr"] > 28
