@@ -1,0 +1,61 @@
+"""Pretrain the registry SR nets on the procedural corpus and save the
+packaged checkpoints (srs_tpu/models/checkpoints/). Run on the real TPU:
+
+    python scripts/pretrain.py [out_dir]
+
+Writes one orbax checkpoint per (model, scale) plus a JSON eval panel
+(held-out PSNR vs bicubic / bicubic+IBP) next to them.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from srs_tpu.models.registry import MODEL_REGISTRY  # noqa: E402
+from srs_tpu.models.train import eval_on_holdout, train_synthetic  # noqa: E402
+
+CONFIGS = [
+    # (model, scale, steps, features are per registry spec)
+    ("espcn", 2, 6000),
+    ("espcn", 3, 6000),
+    ("edsr_m", 2, 6000),
+    ("edsr_m", 3, 6000),
+]
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "srs_tpu", "models", "checkpoints",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    panel = {}
+    for name, scale, steps in CONFIGS:
+        t0 = time.time()
+        params, loss = train_synthetic(
+            name, scale, steps=steps, corpus_n=128, corpus_size=256,
+            patch=48, batch=32, lr=2e-4, checkpoint_dir=out_dir,
+            scan_chunk=50,
+            log_fn=lambda s, l, n=name, sc=scale: print(
+                f"[{n}_x{sc}] step {s}: loss {l:.5f}", flush=True)
+            if s % 500 == 0 else None,
+        )
+        spec = MODEL_REGISTRY[name]
+        kwargs = dict(spec.kwargs)
+        kwargs.setdefault("scale", scale)
+        module = spec.ctor(**kwargs)
+        stats = eval_on_holdout(module, params, scale, n=12, size=192)
+        stats["final_loss"] = loss
+        stats["train_seconds"] = time.time() - t0
+        panel[f"{name}_x{scale}"] = stats
+        print(f"[{name}_x{scale}] {json.dumps(stats)}", flush=True)
+    with open(os.path.join(out_dir, "EVAL.json"), "w") as f:
+        json.dump(panel, f, indent=2)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

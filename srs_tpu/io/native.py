@@ -28,12 +28,40 @@ _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
+_SRC_PATH = os.path.join(_LIB_DIR, "tiffio.cpp")
+_STAMP_PATH = os.path.join(_LIB_DIR, ".tiffio.sha256")
+
+
+def _src_digest() -> str:
+    import hashlib
+
+    with open(_SRC_PATH, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> None:
     subprocess.run(
         ["make", "-C", _LIB_DIR, "libsrstiff.so"],
         check=True,
         capture_output=True,
     )
+    with open(_STAMP_PATH, "w", encoding="utf-8") as f:
+        f.write(_src_digest())
+
+
+def _needs_build() -> bool:
+    """Rebuild unless the .so was built from the current source content.
+
+    Content-hash stamp rather than mtimes: mtimes are arbitrary after a
+    fresh clone, and the library must always come from source (no
+    unverifiable prebuilt binary is shipped)."""
+    if not os.path.exists(_LIB_PATH) or not os.path.exists(_STAMP_PATH):
+        return True
+    try:
+        with open(_STAMP_PATH, encoding="utf-8") as f:
+            return f.read().strip() != _src_digest()
+    except OSError:
+        return True
 
 
 def load() -> ctypes.CDLL:
@@ -44,10 +72,7 @@ def load() -> ctypes.CDLL:
         if _load_failed:
             raise ImportError("native tiff backend unavailable")
         try:
-            if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH)
-                < os.path.getmtime(os.path.join(_LIB_DIR, "tiffio.cpp"))
-            ):
+            if _needs_build():
                 _build()
             lib = ctypes.CDLL(_LIB_PATH)
             lib.srs_write_tiff.restype = ctypes.c_int64

@@ -21,6 +21,7 @@ is placed under ``ModelConfig.checkpoint_dir`` as ``lpips_vgg`` /
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Any, Dict, List, Optional, Sequence
 
 import flax.linen as nn
@@ -78,7 +79,11 @@ class LPIPSMetric:
         params = self._load_checkpoint(net)
         if params is None:
             dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-            params = module.init(jax.random.PRNGKey(hash(net) % (2**31)), dummy)
+            # Process-independent seed: Python's str hash is salted per
+            # process, which would make the "deterministic random features"
+            # differ every run. crc32 is stable across sessions.
+            seed = zlib.crc32(net.encode()) % (2**31)
+            params = module.init(jax.random.PRNGKey(seed), dummy)
 
         def distance(a: jax.Array, b: jax.Array) -> jax.Array:
             # [-1, 1] CHW-equivalent normalization (reference: qa:197-224).

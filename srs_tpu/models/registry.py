@@ -53,19 +53,29 @@ def clear_param_cache() -> None:
     _CACHE.clear()
 
 
-def _try_load_checkpoint(name: str, scale: int, checkpoint_dir: Optional[str]):
-    if not checkpoint_dir:
-        return None
-    path = os.path.join(os.path.expanduser(checkpoint_dir), f"{name}_x{scale}")
-    if not os.path.isdir(path):
-        return None
-    try:
-        import orbax.checkpoint as ocp
+# Pretrained weights shipped with the package (trained on the procedural
+# corpus, scripts/pretrain.py; the on-device answer to the reference's
+# pretrained remote services, super_resolution_module.py:561-711).
+PACKAGED_CHECKPOINT_DIR = os.path.join(os.path.dirname(__file__), "checkpoints")
 
-        ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(os.path.abspath(path))
-    except Exception:
-        return None
+
+def _try_load_checkpoint(name: str, scale: int, checkpoint_dir: Optional[str]):
+    """User checkpoint_dir first, then the packaged pretrained weights."""
+    dirs = [checkpoint_dir, PACKAGED_CHECKPOINT_DIR]
+    for d in dirs:
+        if not d:
+            continue
+        path = os.path.join(os.path.expanduser(d), f"{name}_x{scale}")
+        if not os.path.isdir(path):
+            continue
+        try:
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            return ckptr.restore(os.path.abspath(path))
+        except Exception:
+            continue
+    return None
 
 
 def build_model(
@@ -73,12 +83,15 @@ def build_model(
     scale: int = 2,
     checkpoint_dir: Optional[str] = None,
     dtype: Any = jnp.bfloat16,
+    pretrained: bool = True,
 ) -> Tuple[Any, Any]:
     """(flax module, params) for a registry entry at a given scale.
 
     Params come from, in order: in-process cache, an orbax checkpoint under
-    ``checkpoint_dir``, or deterministic init (PRNGKey(0), zero residual =
-    exact bicubic).
+    ``checkpoint_dir``, the packaged pretrained weights, or deterministic
+    init (PRNGKey(0), zero residual = exact bicubic).
+    ``pretrained=False`` skips all checkpoints (the bicubic-exact floor,
+    used by parity tests and as the degradation-ladder fallback).
     """
     if name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {name!r}; registered: {sorted(MODEL_REGISTRY)}")
@@ -87,11 +100,15 @@ def build_model(
     if "scale" not in kwargs:
         kwargs["scale"] = scale
     kwargs["dtype"] = dtype
-    key = (name, kwargs["scale"])
+    key = (name, kwargs["scale"], pretrained)
     if key in _CACHE:
         return _CACHE[key]
     module = spec.ctor(**kwargs)
-    params = _try_load_checkpoint(name, kwargs["scale"], checkpoint_dir)
+    params = (
+        _try_load_checkpoint(name, kwargs["scale"], checkpoint_dir)
+        if pretrained
+        else None
+    )
     if params is None:
         # build_model may be reached from inside a jit trace (e.g. the
         # mesh dispatcher jitting the whole SR ladder); force a concrete

@@ -547,7 +547,11 @@ class SuperResolutionPipeline:
                             writer.write(band)
                     streamed = True
                 except (ImportError, OSError):
-                    pass
+                    # The generator may be partially consumed (a band was
+                    # already written when the native writer failed);
+                    # re-dispatch the full banded program so the fallback
+                    # saves the complete image, not a truncated tail.
+                    save_bands = _banded_out(th, tw, 8, quant, as_iterator=True)
             if not streamed:
                 rows = list(save_bands)
                 fused_np = np.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]

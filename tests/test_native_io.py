@@ -70,3 +70,33 @@ def test_content_hash_stability(rng):
 def test_write_tiff_bad_input(tmp_path):
     with pytest.raises(IOError):
         write_tiff(str(tmp_path / "x.tiff"), np.zeros((4, 4, 5), np.uint8))
+
+
+def test_tiff_two_and_four_channel(tmp_path, rng):
+    # channels==2 packs BitsPerSample inline (TIFF <=4-byte rule) and both
+    # LA/RGBA need the ExtraSamples tag for readers to accept them.
+    for ch in (2, 4):
+        img = (rng.random((33, 47, ch)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"c{ch}.tiff")
+        write_tiff(p, img)
+        back = np.asarray(Image.open(p))
+        assert back.shape == img.shape
+        assert (back == img).all()
+
+
+def test_tiff_build_stamp_rebuilds_from_source(tmp_path):
+    # The .so is never shipped; a content-hash stamp forces rebuild when
+    # the stamp is missing or stale (fresh-clone safety).
+    from srs_tpu.io import native
+
+    assert not native._needs_build()  # just built by available()
+    stamp = native._STAMP_PATH
+    with open(stamp, encoding="utf-8") as f:
+        good = f.read()
+    try:
+        with open(stamp, "w", encoding="utf-8") as f:
+            f.write("0" * 64)
+        assert native._needs_build()
+    finally:
+        with open(stamp, "w", encoding="utf-8") as f:
+            f.write(good)
