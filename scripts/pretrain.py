@@ -18,12 +18,16 @@ from srs_tpu.models.registry import MODEL_REGISTRY  # noqa: E402
 from srs_tpu.models.train import eval_on_holdout, train_synthetic  # noqa: E402
 
 CONFIGS = [
-    # (model, scale, steps, features are per registry spec)
-    ("espcn", 2, 6000),
-    ("espcn", 3, 6000),
-    ("edsr_m", 2, 6000),
-    ("edsr_m", 3, 6000),
+    # (model, scale, steps). x3 needs the longer schedule: the task has
+    # more headroom and small-corpus runs memorize instead of generalize.
+    ("espcn", 2, 8000),
+    ("espcn", 3, 12000),
+    ("edsr_m", 2, 8000),
+    ("edsr_m", 3, 14000),
 ]
+
+CORPUS_N = 512
+CORPUS_SIZE = 256
 
 
 def main() -> None:
@@ -32,16 +36,21 @@ def main() -> None:
         "srs_tpu", "models", "checkpoints",
     )
     os.makedirs(out_dir, exist_ok=True)
+    from srs_tpu.models.corpus import make_corpus
+
+    t0 = time.time()
+    corpus = make_corpus(CORPUS_N, CORPUS_SIZE, seed=0)
+    print(f"corpus: {corpus.shape} in {time.time()-t0:.1f}s", flush=True)
     panel = {}
     for name, scale, steps in CONFIGS:
         t0 = time.time()
         params, loss = train_synthetic(
-            name, scale, steps=steps, corpus_n=128, corpus_size=256,
+            name, scale, steps=steps, corpus_n=CORPUS_N, corpus_size=CORPUS_SIZE,
             patch=48, batch=32, lr=2e-4, checkpoint_dir=out_dir,
-            scan_chunk=50,
+            scan_chunk=50, corpus=corpus,
             log_fn=lambda s, l, n=name, sc=scale: print(
                 f"[{n}_x{sc}] step {s}: loss {l:.5f}", flush=True)
-            if s % 500 == 0 else None,
+            if s % 1000 == 0 else None,
         )
         spec = MODEL_REGISTRY[name]
         kwargs = dict(spec.kwargs)

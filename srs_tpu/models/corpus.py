@@ -112,19 +112,32 @@ def _draw_overlays(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
 
 
 def render_image(seed: int, size: int = 256) -> np.ndarray:
-    """One deterministic HR image, [size, size, 3] float32 in [0, 255]."""
+    """One deterministic HR image, [size, size, 3] float32 in [0, 255].
+
+    Renders at a jittered supersize then area-downsamples half the time:
+    this diversifies the band-limit/aliasing statistics (pure at-size
+    renders share one phase structure, which lets a capable net memorize
+    the generator instead of learning generic detail priors)."""
+    import cv2
+
     rng = np.random.default_rng(seed)
+    ss = size if rng.random() < 0.5 else int(size * rng.uniform(1.25, 2.0))
     bg = rng.integers(0, 3)
     if bg == 0:
-        img = _fractal_noise(rng, size, rng.uniform(1.0, 2.2))
+        img = _fractal_noise(rng, ss, rng.uniform(1.0, 2.2))
     elif bg == 1:
-        img = _voronoi(rng, size, int(rng.integers(6, 30)))
+        img = _voronoi(rng, ss, int(rng.integers(6, 30)))
     else:
-        img = _gratings(rng, size)
+        img = _gratings(rng, ss)
     if rng.random() < 0.85:
         img = _draw_overlays(rng, img.astype(np.float32))
     if rng.random() < 0.3:  # texture on top of graphics
-        img = 0.7 * img + 0.3 * _fractal_noise(rng, size, rng.uniform(1.2, 2.0))
+        img = 0.7 * img + 0.3 * _fractal_noise(rng, ss, rng.uniform(1.2, 2.0))
+    if ss != size:
+        img = cv2.resize(
+            np.ascontiguousarray(img, np.float32), (size, size),
+            interpolation=cv2.INTER_AREA,
+        )
     return np.clip(img, 0.0, 255.0).astype(np.float32)
 
 

@@ -163,6 +163,7 @@ def train_synthetic(
     seed: int = 0,
     scan_chunk: int = 50,
     log_fn: Optional[Callable[[int, float], None]] = None,
+    corpus: Optional[np.ndarray] = None,
 ):
     """Pretrain a registry model on the procedural corpus (corpus.py).
 
@@ -182,7 +183,9 @@ def train_synthetic(
     kwargs.setdefault("scale", scale)
     module = spec.ctor(**kwargs)
 
-    corpus = jnp.asarray(make_corpus(corpus_n, corpus_size, seed))
+    corpus = jnp.asarray(
+        make_corpus(corpus_n, corpus_size, seed) if corpus is None else corpus
+    )
     n_img, ch, cw, _ = corpus.shape
     hp = patch * scale
 

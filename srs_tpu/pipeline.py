@@ -34,8 +34,10 @@ from .io.image import load_image, save_image
 from .models.sr_module import SuperResolutionModule
 from .ops import blend as B
 from .ops.weights import layout_weights
+from .ops.tiles import extract_tiles, pad_image
 from .qa.module import QualityAssessmentModule
-from .scheduler.scheduler import AgentScheduler, Task
+from .scheduler.scheduler import AgentScheduler, Task, TaskStatus
+from .tiling.geometry import compute_layout
 from .tiling.tiling import TilingModule
 
 logger = logging.getLogger("srs_tpu.pipeline")
@@ -65,6 +67,12 @@ class PipelineConfig:
     # Device mesh, e.g. {"data": 4, "space": 2}; None = single device.
     mesh_shape: Optional[Dict[str, int]] = None
     bit_depth: int = 8  # 8 or 16 (16-bit TIFF via the native writer)
+    # Persist upscaled tiles to the tile store after SR and resume from
+    # them on re-run (reference probes its cache before stage 2,
+    # main.py:299-304). Off by default: the store write fetches the full
+    # upscaled batch over the ~30 MB/s host link, which at print sizes
+    # costs more than recomputing — enable for kill-resumable long jobs.
+    enable_checkpoint: bool = False
     enable_seam_repair: bool = False  # post-blend seam QA + repair pass
     enable_color_correction: bool = False  # histogram-match to source
     seam_threshold: float = 0.95
@@ -216,15 +224,20 @@ class SuperResolutionPipeline:
             return (tw, th)
 
     # -- device stages -----------------------------------------------------
-    def _upscale_batch(self, tiles: jnp.ndarray, ladder: List[int]) -> jnp.ndarray:
+    def _upscale_batch(
+        self, tiles: jnp.ndarray, ladder: List[int], provider: Optional[str] = None
+    ) -> jnp.ndarray:
         """Run the net ladder over the tile batch, chunked to bound HBM.
 
         With a mesh configured, the batch shards over the ``data`` axis and
         the whole ladder runs as one sharded program (per-device memory is
-        batch/N_data, so host-side chunking is unnecessary)."""
+        batch/N_data, so host-side chunking is unnecessary).
+        ``provider`` overrides the configured provider (the degradation
+        ladder's fallback-engine path)."""
         assert self.sr_module is not None
-        if self.dispatcher is not None and self.config.provider != "bicubic":
-            provider = self.config.provider
+        provider_name = provider or self.config.provider
+        if self.dispatcher is not None and provider_name != "bicubic":
+            provider = provider_name
             steps = self.config.ibp_steps
 
             def ladder_fn(x):
@@ -249,10 +262,79 @@ class SuperResolutionPipeline:
             for si, s in enumerate(ladder):
                 steps = self.config.ibp_steps if si == len(ladder) - 1 else 0
                 cur = self.sr_module.upscale_tiles(
-                    cur, s, provider=self.config.provider, steps=steps
+                    cur, s, provider=provider_name, steps=steps
                 )
             outs.append(cur)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    # -- stage 2 with failure recovery --------------------------------------
+    _FALLBACK_PROVIDERS = {"quality": "fast", "hybrid": "fast", "zssr": "fast",
+                           "seedream": "fast", "fast": "bicubic",
+                           "veimagex": "bicubic"}
+
+    def _run_stage2(
+        self,
+        image: np.ndarray,
+        tiles: jnp.ndarray,
+        ladder: List[int],
+        layout,
+        tasks: List[Task],
+        max_attempts: int = 10,
+    ):
+        """Run the SR batch with the scheduler's retry -> degradation ladder
+        wired to REAL device compute (reference: agent_scheduler.py:752-887).
+
+        A failed/OOM'd device batch routes through ``handle_failure``: the
+        first ``max_retries`` failures re-run unchanged (transient-error
+        parity); after that ``_apply_degradation`` rewrites the task config
+        and the batch re-tiles at the degraded tile size (256/16), drops to
+        the fallback engine, and reduces the net scale (x0.7, floor 1.5 —
+        the output still reaches the requested size via the final bicubic
+        in the banded save). Returns (up_tiles, layout, ladder, provider).
+        """
+        provider: Optional[str] = None
+        degradations = 0
+        for attempt in range(max_attempts):
+            try:
+                up_tiles = self._upscale_batch(tiles, ladder, provider=provider)
+                up_tiles.block_until_ready()
+                return up_tiles, layout, ladder, provider
+            except Exception as e:  # noqa: BLE001 - any device failure enters the ladder
+                if self.scheduler is None or attempt == max_attempts - 1:
+                    raise
+                logger.warning("SR batch failed (attempt %d): %s", attempt + 1, e)
+
+                async def _report():
+                    for t in tasks:
+                        await self.scheduler.handle_failure(t, str(e))
+
+                self._run_async(_report())
+                degraded = [t for t in tasks if t.status == TaskStatus.DEGRADED]
+                if degraded and degradations < len(self._FALLBACK_PROVIDERS):
+                    degradations += 1
+                    cfg = degraded[0].tile_config
+                    block = int(cfg.get("tile_size", 256))
+                    overlap_px = int(cfg.get("overlap", 16))
+                    cur = provider or self.config.provider
+                    if cfg.get("use_fallback_engine"):
+                        provider = self._FALLBACK_PROVIDERS.get(cur, "bicubic")
+                    new_scale = float(degraded[0].scale_factor)
+                    ladder = _scale_ladder(new_scale)
+                    layout = compute_layout(
+                        image.shape[1], image.shape[0], block,
+                        overlap_px / max(block, 1),
+                        step_multiple=self.tiling_module.step_multiple,
+                    )
+                    padded = pad_image(
+                        jnp.asarray(image, jnp.float32), layout,
+                        self.tiling_module.padding_mode.value,
+                    )
+                    tiles = extract_tiles(padded, layout)
+                    logger.warning(
+                        "degraded: tile %d/%d, provider %s, ladder %s",
+                        block, overlap_px, provider, ladder,
+                    )
+        raise RuntimeError("unreachable")  # pragma: no cover
 
     def _weight_profiles(self, out_layout, image: Optional[np.ndarray], net_scale: int):
         """Separable (wy, wx) blend profiles: content-aware when enabled,
@@ -343,6 +425,44 @@ class SuperResolutionPipeline:
             )
         raise ValueError(f"unknown blend method {method!r}")
 
+    # -- SR checkpoint/resume (reference: main.py:299-304) ------------------
+    def _resume_key(self, image_hash: str, ladder: List[int], layout) -> Optional[str]:
+        """Content-addressed key for the upscaled-tile store: any knob that
+        changes the SR output changes the key."""
+        if not self.config.enable_checkpoint:
+            return None
+        import hashlib as _hashlib
+
+        sig = (
+            f"{image_hash}:{self.config.provider}:{ladder}:{self.config.ibp_steps}"
+            f":{layout.block}:{layout.overlap}:{self.config.zssr_steps}"
+            f":{self.config.seedream_steps}"
+        )
+        return "sr-" + _hashlib.md5(sig.encode()).hexdigest()
+
+    def _probe_resume(
+        self, resume_key: Optional[str], num_tiles: int
+    ) -> Optional[Dict[int, np.ndarray]]:
+        if resume_key is None:
+            return None
+        store = self.tiling_module.store
+        cached: Dict[int, np.ndarray] = {}
+        for i in range(num_tiles):
+            data = store.get(resume_key, f"sr_{i}") if store.has(resume_key, f"sr_{i}") else None
+            if data is not None:
+                cached[i] = np.asarray(data, np.float32)
+        return cached
+
+    def _checkpoint_sr(self, resume_key: Optional[str], up_tiles: jnp.ndarray) -> None:
+        """Persist the upscaled batch (uint8 — 4x less host-link traffic;
+        the canvas quantizes to 8/16-bit at save anyway)."""
+        if resume_key is None:
+            return
+        store = self.tiling_module.store
+        up_np = np.asarray(jnp.clip(jnp.rint(up_tiles), 0, 255)).astype(np.uint8)
+        for i in range(up_np.shape[0]):
+            store.put(resume_key, f"sr_{i}", up_np[i])
+
     # -- scheduler bookkeeping --------------------------------------------
     def _book_tasks(self, n: int, output_path: str, scale: float) -> List[Task]:
         tasks = [
@@ -429,8 +549,51 @@ class SuperResolutionPipeline:
                     image, scale=ladder[0], steps=self.config.zssr_steps
                 )
             tasks = self._book_tasks(layout.num_tiles, output_path, scale_total)
-            up_tiles = self._upscale_batch(tiles, ladder)
-            up_tiles.block_until_ready()
+
+            # Mid-run resume: probe the tile store for already-upscaled
+            # tiles from a killed previous run (reference: main.py:299-304
+            # probed; restore was a TODO there — here it works).
+            resume_key = self._resume_key(image_hash, ladder, layout)
+            cached_sr = self._probe_resume(resume_key, layout.num_tiles)
+            recomputed = True
+            if cached_sr is not None and len(cached_sr) == layout.num_tiles:
+                up_tiles = jnp.asarray(
+                    np.stack([cached_sr[i] for i in range(layout.num_tiles)]),
+                    jnp.float32,
+                )
+                recomputed = False
+                logger.info("resumed all %d upscaled tiles from checkpoint",
+                            layout.num_tiles)
+            elif cached_sr:
+                try:
+                    missing = [i for i in range(layout.num_tiles) if i not in cached_sr]
+                    up_missing = self._upscale_batch(
+                        jnp.take(tiles, jnp.asarray(missing), axis=0), ladder
+                    )
+                    up_missing.block_until_ready()
+                    parts: List[np.ndarray] = [None] * layout.num_tiles  # type: ignore[list-item]
+                    up_np = np.asarray(up_missing)
+                    for j, i in enumerate(missing):
+                        parts[i] = up_np[j]
+                    for i, data in cached_sr.items():
+                        parts[i] = data
+                    up_tiles = jnp.asarray(np.stack(parts), jnp.float32)
+                    logger.info("resumed %d/%d tiles; upscaled %d",
+                                len(cached_sr), layout.num_tiles, len(missing))
+                except Exception:  # noqa: BLE001 - partial resume is best-effort
+                    logger.warning("partial resume failed; recomputing batch")
+                    up_tiles, layout, ladder, _prov = self._run_stage2(
+                        image, tiles, ladder, layout, tasks
+                    )
+            else:
+                up_tiles, layout, ladder, _prov = self._run_stage2(
+                    image, tiles, ladder, layout, tasks
+                )
+            net_scale = int(np.prod(ladder)) if ladder else 1
+            if recomputed and self.config.enable_checkpoint:
+                self._checkpoint_sr(
+                    self._resume_key(image_hash, ladder, layout), up_tiles
+                )
             self._book_done(tasks)
             stage_times["super_resolution"] = time.time() - t0
 

@@ -252,3 +252,122 @@ def test_zssr_provider(input_png, tmp_path):
     result = pipe.process(input_png, out)
     assert result.success, result.error_message
     assert result.quality_report["psnr"] > 28
+
+
+def test_failure_ladder_degrades_to_fallback(input_png, tmp_path):
+    # A provider that hard-fails on device compute must route through
+    # scheduler.handle_failure: retries first, then the degradation ladder
+    # (tile 256/16, fallback engine, scale x0.7) completes the job.
+    out = str(tmp_path / "deg.png")
+    pipe = SuperResolutionPipeline(_cfg(provider="quality"))
+    pipe._ensure_engine()
+    real = pipe.sr_module.upscale_tiles
+
+    def flaky(tiles, scale, provider="quality", steps=0):
+        if provider != "fast" and provider != "bicubic":
+            raise RuntimeError("injected device failure (simulated OOM)")
+        return real(tiles, scale, provider=provider, steps=steps)
+
+    pipe.sr_module.upscale_tiles = flaky
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    stats = pipe.scheduler.get_statistics()
+    assert stats["counters"]["degraded"] >= 1
+    assert stats["counters"]["retried"] >= 1
+    with Image.open(out) as im:
+        assert im.size == (320, 240)  # degraded net scale still hits target
+
+
+def test_failure_ladder_transient_retry(input_png, tmp_path):
+    # A transient failure (fails twice, then works) must succeed WITHOUT
+    # degradation — plain retry parity (reference agent_scheduler:752-829).
+    out = str(tmp_path / "transient.png")
+    pipe = SuperResolutionPipeline(_cfg(provider="quality"))
+    pipe._ensure_engine()
+    real = pipe.sr_module.upscale_tiles
+    calls = {"n": 0}
+
+    def transient(tiles, scale, provider="quality", steps=0):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient failure")
+        return real(tiles, scale, provider=provider, steps=steps)
+
+    pipe.sr_module.upscale_tiles = transient
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    stats = pipe.scheduler.get_statistics()
+    assert stats["counters"]["retried"] >= 1
+    assert stats["counters"]["degraded"] == 0
+
+
+def test_checkpoint_resume_after_kill(input_png, tmp_path):
+    # Kill-and-rerun: first run checkpoints the upscaled tiles after SR,
+    # then dies in blending; the rerun completes from checkpoint with ZERO
+    # upscale calls (reference probe: main.py:299-304).
+    from srs_tpu.tiling.cache import TileStore
+
+    out = str(tmp_path / "ck.png")
+
+    def make_pipe():
+        p = SuperResolutionPipeline(_cfg(provider="fast", enable_checkpoint=True))
+        p._ensure_engine()
+        p.tiling_module.store = TileStore(str(tmp_path / "store"))
+        calls = {"n": 0}
+        real = p.sr_module.upscale_tiles
+
+        def counting(tiles, scale, provider="quality", steps=0):
+            calls["n"] += 1
+            return real(tiles, scale, provider=provider, steps=steps)
+
+        p.sr_module.upscale_tiles = counting
+        return p, calls
+
+    pipe, calls = make_pipe()
+    pipe._blend = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("killed"))
+    result = pipe.process(input_png, out)
+    assert not result.success
+    assert calls["n"] > 0
+
+    pipe2, calls2 = make_pipe()
+    result2 = pipe2.process(input_png, out)
+    assert result2.success, result2.error_message
+    assert calls2["n"] == 0  # every tile came from the checkpoint
+    with Image.open(out) as im:
+        assert im.size == (320, 240)
+
+
+def test_checkpoint_partial_resume(input_png, tmp_path):
+    # Only some tiles checkpointed -> the rerun upscales just the missing
+    # subset and the output matches a from-scratch run to quantization.
+    from srs_tpu.tiling.cache import TileStore
+
+    out = str(tmp_path / "pr.png")
+    pipe = SuperResolutionPipeline(_cfg(provider="fast", enable_checkpoint=True))
+    pipe._ensure_engine()
+    pipe.tiling_module.store = TileStore(str(tmp_path / "store2"))
+    pipe._blend_orig = pipe._blend
+    pipe._blend = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("killed"))
+    pipe.process(input_png, out)
+
+    # drop some checkpointed tiles to force a partial resume
+    store = TileStore(str(tmp_path / "store2"))
+    key = [d for d in __import__("os").listdir(str(tmp_path / "store2"))][0]
+    blocks = sorted(store.list_blocks(key))
+    assert len(blocks) >= 2
+    import os as _os
+    _os.remove(_os.path.join(str(tmp_path / "store2"), key, blocks[0] + ".npz"))
+
+    pipe2 = SuperResolutionPipeline(_cfg(provider="fast", enable_checkpoint=True))
+    pipe2._ensure_engine()
+    pipe2.tiling_module.store = TileStore(str(tmp_path / "store2"))
+    result = pipe2.process(input_png, out)
+    assert result.success, result.error_message
+
+    ref = SuperResolutionPipeline(_cfg(provider="fast")).process(
+        input_png, str(tmp_path / "ref.png")
+    )
+    assert ref.success
+    a = np.asarray(Image.open(out), np.float32)
+    b = np.asarray(Image.open(str(tmp_path / "ref.png")), np.float32)
+    assert np.abs(a - b).max() <= 2.0  # uint8 store quantization only
