@@ -103,6 +103,15 @@ def main() -> None:
         "provider": cfg.provider,
         "d2h_link_MBps": round(link_mbps, 1),
     }
+    # Full-resolution no-reference panel: the downsample-consistency score
+    # alone is circular (back-projection optimizes what it measures); these
+    # score the actual print-resolution pixels.
+    if r.quality_report:
+        for k in ("fullres_niqe", "fullres_brisque", "fullres_sharpness",
+                  "fullres_contrast", "fullres_crops"):
+            if k in r.quality_report:
+                v = r.quality_report[k]
+                result[k] = round(v, 3) if isinstance(v, float) else v
     print(json.dumps(result))
 
 

@@ -16,6 +16,13 @@ import sys
 def _cmd_process(args: argparse.Namespace) -> int:
     from .pipeline import PipelineConfig, SuperResolutionPipeline
 
+    mesh_shape = None
+    if args.mesh:
+        # "data=4,space=2" -> {"data": 4, "space": 2}
+        mesh_shape = {
+            k.strip(): int(v)
+            for k, v in (part.split("=") for part in args.mesh.split(","))
+        }
     cfg = PipelineConfig(
         block_size=args.block_size,
         overlap_ratio=args.overlap,
@@ -24,6 +31,13 @@ def _cmd_process(args: argparse.Namespace) -> int:
         blend_method=args.blend,
         enable_qa=not args.no_qa,
         ibp_steps=args.steps,
+        zssr_steps=args.zssr_steps,
+        mesh_shape=mesh_shape,
+        bit_depth=args.bit_depth,
+        enable_seam_repair=args.seam_repair,
+        enable_color_correction=args.color_correction,
+        enable_checkpoint=args.checkpoint,
+        content_aware=args.content_aware,
     )
     pipe = SuperResolutionPipeline(cfg)
     result = pipe.process(args.input, args.output, prompt=args.prompt)
@@ -58,13 +72,22 @@ def _cmd_webui(args: argparse.Namespace) -> int:
 
 def _cmd_train(args: argparse.Namespace) -> int:
     from .config import ModelConfig
-    from .models.train import train_from_images
+    from .models.train import train_from_images, train_synthetic
 
     ckpt = args.checkpoint_dir or ModelConfig().checkpoint_dir
-    _, loss = train_from_images(
-        args.images, args.model, args.scale, steps=args.steps,
-        patch=args.patch, batch=args.batch, lr=args.lr, checkpoint_dir=ckpt,
-    )
+    if args.synthetic:
+        _, loss = train_synthetic(
+            args.model, args.scale, steps=args.steps, corpus_n=args.corpus_n,
+            patch=args.patch, batch=args.batch, lr=args.lr, checkpoint_dir=ckpt,
+        )
+    elif args.images:
+        _, loss = train_from_images(
+            args.images, args.model, args.scale, steps=args.steps,
+            patch=args.patch, batch=args.batch, lr=args.lr, checkpoint_dir=ckpt,
+        )
+    else:
+        print("provide HR image files or --synthetic", file=sys.stderr)
+        return 2
     print(f"trained {args.model} x{args.scale}: final loss {loss:.4f}; "
           f"checkpoint in {ckpt}")
     return 0
@@ -97,10 +120,25 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--block-size", type=int, default=512)
     pp.add_argument("--overlap", type=float, default=0.2)
     pp.add_argument("--provider", default="quality",
-                    choices=["quality", "fast", "hybrid", "bicubic"])
+                    choices=["quality", "fast", "hybrid", "bicubic", "zssr"])
     pp.add_argument("--blend", default="laplacian",
-                    choices=["laplacian", "weighted", "feather", "gradient_domain"])
+                    choices=["laplacian", "multi_band", "weighted", "feather",
+                             "gradient_domain", "poisson"])
     pp.add_argument("--steps", type=int, default=8, help="back-projection steps")
+    pp.add_argument("--zssr-steps", type=int, default=150,
+                    help="self-supervised fine-tune steps for --provider zssr")
+    pp.add_argument("--mesh", default=None,
+                    help="device mesh, e.g. 'data=4,space=2' (default: single device)")
+    pp.add_argument("--bit-depth", type=int, default=8, choices=[8, 16],
+                    help="output bit depth (16 requires TIFF output)")
+    pp.add_argument("--seam-repair", action="store_true",
+                    help="post-blend seam QA + repair pass")
+    pp.add_argument("--color-correction", action="store_true",
+                    help="histogram-match output colors to the source")
+    pp.add_argument("--checkpoint", action="store_true",
+                    help="persist upscaled tiles for kill-resume (costs host-link traffic)")
+    pp.add_argument("--content-aware", action="store_true",
+                    help="seam placement avoids faces/text/salient regions")
     pp.add_argument("--prompt", default=None)
     pp.add_argument("--no-qa", action="store_true")
     pp.set_defaults(fn=_cmd_process)
@@ -113,7 +151,11 @@ def build_parser() -> argparse.ArgumentParser:
     pw.set_defaults(fn=_cmd_webui)
 
     pt = sub.add_parser("train", help="train an SR model on HR images")
-    pt.add_argument("images", nargs="+", help="HR image files")
+    pt.add_argument("images", nargs="*", help="HR image files")
+    pt.add_argument("--synthetic", action="store_true",
+                    help="train on the procedural corpus (no images needed)")
+    pt.add_argument("--corpus-n", type=int, default=256,
+                    help="procedural corpus size for --synthetic")
     pt.add_argument("--model", default="espcn", help="registry model name")
     pt.add_argument("--scale", type=int, default=2)
     pt.add_argument("--steps", type=int, default=2000)

@@ -197,12 +197,16 @@ def train_synthetic(
     opt_state = tx.init(params)
 
     def one_step(carry, key):
-        params, opt_state = carry
+        # corpus rides in the carry (read-only) rather than as a closure:
+        # a closed-over array is baked into the program as a constant, and
+        # a multi-hundred-MB constant blows up the compile payload (this
+        # image's TPU compiles go through an HTTP helper with a size cap).
+        params, opt_state, corpus_d = carry
         ki, ky, kx, kf = jax.random.split(key, 4)
         idx = jax.random.randint(ki, (batch,), 0, n_img)
         ys = jax.random.randint(ky, (batch,), 0, ch - hp + 1)
         xs = jax.random.randint(kx, (batch,), 0, cw - hp + 1)
-        imgs = jnp.take(corpus, idx, axis=0)
+        imgs = jnp.take(corpus_d, idx, axis=0)
         hr = jax.vmap(
             lambda im, y, x: jax.lax.dynamic_slice(im, (y, x, 0), (hp, hp, 3))
         )(imgs, ys, xs)
@@ -217,19 +221,21 @@ def train_synthetic(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+        return (params, opt_state, corpus_d), loss
 
     @jax.jit
-    def run_chunk(params, opt_state, key):
+    def run_chunk(params, opt_state, corpus_d, key):
         keys = jax.random.split(key, scan_chunk)
-        (params, opt_state), losses = jax.lax.scan(one_step, (params, opt_state), keys)
+        (params, opt_state, _), losses = jax.lax.scan(
+            one_step, (params, opt_state, corpus_d), keys
+        )
         return params, opt_state, jnp.mean(losses)
 
     key = jax.random.PRNGKey(seed + 1)
     loss = float("nan")
     for chunk in range(max(steps // scan_chunk, 1)):
         key, sub = jax.random.split(key)
-        params, opt_state, mloss = run_chunk(params, opt_state, sub)
+        params, opt_state, mloss = run_chunk(params, opt_state, corpus, sub)
         loss = float(mloss)
         if log_fn is not None:
             log_fn((chunk + 1) * scan_chunk, loss)

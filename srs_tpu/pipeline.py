@@ -20,6 +20,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
@@ -41,6 +42,10 @@ from .tiling.geometry import compute_layout
 from .tiling.tiling import TilingModule
 
 logger = logging.getLogger("srs_tpu.pipeline")
+
+
+class PipelineCancelled(RuntimeError):
+    """Raised between stages after SuperResolutionPipeline.cancel()."""
 
 
 @dataclass
@@ -161,6 +166,18 @@ class SuperResolutionPipeline:
         # (main.py:136-150) but also lazily on first use for sync callers.
         self.sr_module: Optional[SuperResolutionModule] = None
         self.scheduler: Optional[AgentScheduler] = None
+        # Cooperative cancellation: checked between stages (the WebUI
+        # monitor's Cancel button and any host thread can abort a
+        # print-grade job without killing the process).
+        self._cancel_event = threading.Event()
+
+    def cancel(self) -> None:
+        """Request cancellation; process() aborts at the next stage boundary."""
+        self._cancel_event.set()
+
+    def _check_cancel(self, stage: str) -> None:
+        if self._cancel_event.is_set():
+            raise PipelineCancelled(f"cancelled before {stage}")
 
     # -- async context parity (reference: main.py:136-155) -----------------
     async def __aenter__(self) -> "SuperResolutionPipeline":
@@ -463,6 +480,49 @@ class SuperResolutionPipeline:
         for i in range(up_np.shape[0]):
             store.put(resume_key, f"sr_{i}", up_np[i])
 
+    # -- full-resolution no-reference QA ------------------------------------
+    @staticmethod
+    def _sample_fullres_crops(
+        band: np.ndarray, row0: int, total_h: int, crops: List[np.ndarray],
+        max_crops: int = 6, crop: int = 256,
+    ) -> None:
+        """Collect output crops from save bands as they stream — the bands
+        are already on host, so full-res QA costs no extra device traffic."""
+        if len(crops) >= max_crops:
+            return
+        bh, bw = band.shape[:2]
+        cs = min(crop, bh, bw)
+        if cs < 16:
+            return
+        for frac in (0.2, 0.5, 0.8):
+            r = int(total_h * frac)
+            if row0 <= r < row0 + bh and len(crops) < max_crops:
+                y = max(0, min(r - row0, bh - cs))
+                for xf in (0.25, 0.7):
+                    x = max(0, min(int(bw * xf), bw - cs))
+                    crops.append(np.asarray(band[y : y + cs, x : x + cs]))
+
+    def _fullres_noref(self, crops: List[np.ndarray]) -> Dict[str, Any]:
+        """Aggregate NIQE/BRISQUE/sharpness over full-res output crops.
+
+        The downsample-consistency score cannot see whether the upscaler
+        added real detail (back-projection optimizes exactly what it
+        measures); this panel scores the actual print-resolution pixels
+        (reference's no-reference path: quality_assessment_module.py:721-812)."""
+        assert self.quality_module is not None
+        acc: Dict[str, List[float]] = {}
+        for c in crops:
+            arr = c.astype(np.float32)
+            if c.dtype == np.uint16:
+                arr = arr / 257.0
+            nr = self.quality_module.evaluate_no_reference(arr)
+            for k in ("niqe", "brisque", "sharpness", "contrast"):
+                if k in nr:
+                    acc.setdefault(k, []).append(float(nr[k]))
+        out: Dict[str, Any] = {f"fullres_{k}": float(np.mean(v)) for k, v in acc.items()}
+        out["fullres_crops"] = len(crops)
+        return out
+
     # -- scheduler bookkeeping --------------------------------------------
     def _book_tasks(self, n: int, output_path: str, scale: float) -> List[Task]:
         tasks = [
@@ -519,6 +579,7 @@ class SuperResolutionPipeline:
         start = time.time()
         stage_times: Dict[str, float] = {}
         self._ensure_engine()
+        self._cancel_event.clear()
         try:
             # ---- Stage 1: tiling ----
             t0 = time.time()
@@ -540,6 +601,7 @@ class SuperResolutionPipeline:
             )
 
             # ---- Stage 2: parallel SR ----
+            self._check_cancel("super_resolution")
             t0 = time.time()
             if self.config.provider == "zssr" and ladder:
                 # Zero-shot SR: fine-tune on the input itself so the net
@@ -598,6 +660,7 @@ class SuperResolutionPipeline:
             stage_times["super_resolution"] = time.time() - t0
 
             # ---- Stage 3: blending ----
+            self._check_cancel("blending")
             t0 = time.time()
             out_layout = layout.scaled(net_scale)
             # The profile blend donates its input batch; keep a copy when
@@ -636,6 +699,7 @@ class SuperResolutionPipeline:
             stage_times["blending"] = time.time() - t0
 
             # ---- Stage 4: QA ----
+            self._check_cancel("quality_assessment")
             # One small banded program pulls an input-size proxy straight
             # off the padded canvas (crop + resize fused).
             t0 = time.time()
@@ -684,6 +748,7 @@ class SuperResolutionPipeline:
             stage_times["quality_assessment"] = time.time() - t0
 
             # ---- Stage 5: save ----
+            self._check_cancel("save")
             t0 = time.time()
             # One banded program fuses crop (unpad), exact-size resize,
             # clip and quantization, streaming row bands over the host
@@ -692,6 +757,8 @@ class SuperResolutionPipeline:
             # band b+1 computes + crosses the link while band b deflates on
             # the C++ thread pool.
             streamed = False
+            fullres_crops: List[np.ndarray] = []
+            want_fullres = self.quality_module is not None and quality_report is not None
             if output_path.lower().endswith((".tiff", ".tif")):
                 try:
                     import os as _os
@@ -706,8 +773,12 @@ class SuperResolutionPipeline:
                         output_path, th, tw, bit_depth=self.config.bit_depth,
                         compress=_compress,
                     ) as writer:
+                        row0 = 0
                         for band in save_bands:
                             writer.write(band)
+                            if want_fullres:
+                                self._sample_fullres_crops(band, row0, th, fullres_crops)
+                            row0 += band.shape[0]
                     streamed = True
                 except (ImportError, OSError):
                     # The generator may be partially consumed (a band was
@@ -715,12 +786,17 @@ class SuperResolutionPipeline:
                     # re-dispatch the full banded program so the fallback
                     # saves the complete image, not a truncated tail.
                     save_bands = _banded_out(th, tw, 8, quant, as_iterator=True)
+                    fullres_crops = []
             if not streamed:
                 rows = list(save_bands)
                 fused_np = np.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+                if want_fullres and not fullres_crops:
+                    self._sample_fullres_crops(fused_np, 0, th, fullres_crops)
                 if fused_np.dtype == np.uint16:  # PIL path is 8-bit only
                     fused_np = (fused_np // 257).astype(np.uint8)
                 save_image(output_path, fused_np)
+            if want_fullres and fullres_crops:
+                quality_report.update(self._fullres_noref(fullres_crops))
             if quality_report:
                 report_path = output_path.rsplit(".", 1)[0] + "_qa_report.json"
                 with open(report_path, "w", encoding="utf-8") as f:

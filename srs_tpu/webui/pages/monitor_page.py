@@ -107,5 +107,10 @@ def render() -> None:
     c1, c2 = st.columns(2)
     if c1.button("Cancel"):
         set_state("cancelled", True)
+        if pipe is not None:
+            # Cooperative abort: the worker's process() raises
+            # PipelineCancelled at the next stage boundary.
+            pipe.cancel()
+            set_state("current_stage", "cancelling...")
     if c2.button("Refresh"):
         pass  # streamlit rerun happens on any interaction

@@ -371,3 +371,20 @@ def test_checkpoint_partial_resume(input_png, tmp_path):
     a = np.asarray(Image.open(out), np.float32)
     b = np.asarray(Image.open(str(tmp_path / "ref.png")), np.float32)
     assert np.abs(a - b).max() <= 2.0  # uint8 store quantization only
+
+
+def test_fullres_noref_panel(input_png, tmp_path):
+    # The QA report must include full-resolution no-reference metrics
+    # sampled from the save bands (honest quality reporting: the
+    # downsample-consistency score alone cannot see added detail).
+    out = str(tmp_path / "nr.tiff")
+    pipe = SuperResolutionPipeline(_cfg(provider="fast"))
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    rep = result.quality_report
+    assert rep["fullres_crops"] >= 1
+    for k in ("fullres_niqe", "fullres_brisque", "fullres_sharpness"):
+        assert k in rep and np.isfinite(rep[k]), k
+    # and it lands in the saved JSON report too
+    saved = json.loads(open(out.rsplit(".", 1)[0] + "_qa_report.json").read())
+    assert "fullres_niqe" in saved

@@ -70,3 +70,80 @@ def test_cli_process_small(tmp_path, capsys):
     rc2 = main(["process", str(tmp_path / "none.png"), str(tmp_path / "o.png"),
                 "--target", "160x120", "--no-qa"])
     assert rc2 == 1
+
+
+def test_cli_new_flags():
+    p = build_parser()
+    args = p.parse_args([
+        "process", "in.png", "out.tiff", "--provider", "zssr",
+        "--blend", "multi_band", "--mesh", "data=4,space=2",
+        "--bit-depth", "16", "--seam-repair", "--color-correction",
+        "--checkpoint", "--zssr-steps", "60",
+    ])
+    assert args.provider == "zssr" and args.blend == "multi_band"
+    assert args.mesh == "data=4,space=2" and args.bit_depth == 16
+    assert args.seam_repair and args.color_correction and args.checkpoint
+    assert args.zssr_steps == 60
+    p.parse_args(["process", "i", "o", "--blend", "poisson"])  # accepted
+    args = p.parse_args(["train", "--synthetic", "--corpus-n", "8"])
+    assert args.synthetic and args.corpus_n == 8
+
+
+def test_pipeline_cancel(tmp_path):
+    # cancel() before a stage boundary aborts with a failed result and a
+    # "cancelled" error message (the WebUI Cancel button path).
+    from srs_tpu.pipeline import PipelineConfig, SuperResolutionPipeline
+
+    img = (np.random.default_rng(0).random((60, 80, 3)) * 255).astype(np.uint8)
+    src = str(tmp_path / "in.png")
+    Image.fromarray(img).save(src)
+    pipe = SuperResolutionPipeline(PipelineConfig(
+        block_size=32, target_resolution="160x120", provider="bicubic"))
+    pipe.cancel()
+    # process() clears stale cancels at entry; cancel mid-run via hook:
+    result = pipe.process(src, str(tmp_path / "o.png"))
+    assert result.success  # stale cancel must NOT kill a fresh run
+
+    pipe2 = SuperResolutionPipeline(PipelineConfig(
+        block_size=32, target_resolution="160x120", provider="bicubic"))
+    orig = pipe2._upscale_batch
+
+    def cancel_during_sr(*a, **k):
+        pipe2.cancel()
+        return orig(*a, **k)
+
+    pipe2._upscale_batch = cancel_during_sr
+    result = pipe2.process(src, str(tmp_path / "o2.png"))
+    assert not result.success
+    assert "cancelled" in result.error_message
+
+
+def test_result_export_reencodes(tmp_path):
+    from srs_tpu.webui.pages.result_page import build_export
+
+    img = (np.random.default_rng(1).random((40, 60, 3)) * 255).astype(np.uint8)
+    src = str(tmp_path / "res.png")
+    Image.fromarray(img).save(src)
+
+    data, name = build_export(src, "jpeg", "sRGB", 8, quality=80)
+    assert name.endswith(".jpg")
+    import io as _io
+    with Image.open(_io.BytesIO(data)) as im:
+        assert im.format == "JPEG" and im.size == (60, 40)
+
+    data, name = build_export(src, "tiff", "AdobeRGB", 16)
+    assert name.endswith("_adobergb.tiff")
+    with open(tmp_path / "x.tiff", "wb") as f:
+        f.write(data)
+    # AdobeRGB encode must change the pixels (gamma + primaries)
+    data_srgb, _ = build_export(src, "png", "sRGB", 8)
+    with Image.open(_io.BytesIO(data_srgb)) as im:
+        assert np.asarray(im).shape == (40, 60, 3)
+
+    from srs_tpu.ops.colorspace import convert_profile
+    conv = convert_profile(img.astype(np.float32), "AdobeRGB")
+    assert not np.allclose(conv, img, atol=1.0)
+    # gray axis is invariant under primary conversion (same white point path)
+    gray = np.full((4, 4, 3), 128.0, np.float32)
+    cg = convert_profile(gray, "AdobeRGB")
+    assert np.allclose(cg, cg[..., :1], atol=0.6)  # stays neutral
