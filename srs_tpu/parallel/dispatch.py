@@ -82,19 +82,28 @@ class MeshTileDispatcher:
         weight_profiles,
         layout: TileLayout,
         levels: int = 6,
+        collapse_last: bool = True,
     ):
         """Canvas-pyramid blend sharded over ``space`` when possible;
         single-device profile blend otherwise. Returns the owned canvas
         rows ([S*own(+tail), W, C]) — same coverage as the single-device
-        padded canvas."""
+        padded canvas. With ``collapse_last=False`` the level-0 collapse
+        is deferred: the sharded path returns a
+        :class:`..parallel.finalize.ShardedCanvas` (never gathers the
+        canvas), the single-device path a ``(lap0, coarse)`` pair — both
+        consumed band-wise by the save stage."""
         if self._space_ok(layout):
             from .halo import sharded_laplacian_blend
 
             wy, wx = weight_profiles
-            return sharded_laplacian_blend(tiles, wy, wx, layout, self.mesh, levels)
+            return sharded_laplacian_blend(
+                tiles, wy, wx, layout, self.mesh, levels,
+                collapse_last=collapse_last,
+            )
         from ..ops.blend import laplacian_fusion_tiles
 
         return laplacian_fusion_tiles(
             tiles, None, layout, levels=levels,
             weight_profiles=weight_profiles, clip_range=None,
+            collapse_last=collapse_last,
         )

@@ -1,0 +1,236 @@
+"""Sharded banded finalize — collapse + resize + quantize without ever
+gathering the full-resolution canvas on one chip.
+
+Completes the multi-chip story of :func:`..parallel.halo.sharded_laplacian_blend`
+(SURVEY §7 hard part 2; the reference accumulates its full canvas in one
+process, blending_module.py:477-506): the blend returns the deferred
+``(lap0, coarse)`` canvas-pyramid pair still row-sharded over the ``space``
+mesh axis, and this module's :func:`sharded_finalize_banded` runs the
+level-0 collapse + exact-size resize + quantization *inside* ``shard_map``
+— each device computes only its owned output rows (neighbor halo rows
+arrive over ICI as one ``ppermute`` per side), and the host streams each
+device's quantized bands straight from its shard. Peak per-device HBM is
+one band, never the canvas.
+
+Row bookkeeping is fully static (host-side): the bicubic tap plan of the
+output resize decides which global canvas rows each device's output band
+reads; the small overhang past the device's owned rows becomes the halo.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["ShardedCanvas", "sharded_finalize_banded"]
+
+
+@dataclass
+class ShardedCanvas:
+    """Deferred blend output kept sharded over a mesh row axis.
+
+    ``lap0`` is the finest canvas-pyramid level ([S*hl0, W, C] globally,
+    rows sharded; on interior devices local rows [own0, hl0) are garbage —
+    their authoritative values live at the start of the next device) and
+    ``coarse`` the collapsed level-1 canvas ([S*hl1, cw1, C], same
+    convention). The full canvas is ``lap0 + pyrUp(coarse)`` but is never
+    formed; :func:`sharded_finalize_banded` consumes the pair band-wise.
+    """
+
+    lap0: jax.Array
+    coarse: jax.Array
+    mesh: Mesh
+    axis: str
+    s: int
+    own0: int
+    hl0: int
+    own1: int
+    hl1: int
+    w_pad: int
+    cw1: int
+
+    def block_until_ready(self) -> "ShardedCanvas":
+        self.lap0.block_until_ready()
+        self.coarse.block_until_ready()
+        return self
+
+
+def _device_shard(arr: jax.Array, row0: int) -> Any:
+    """The shard of a row-sharded array whose rows start at ``row0``;
+    fetches only that device's data (no cross-device gather)."""
+    for s in arr.addressable_shards:
+        if (s.index[0].start or 0) == row0:
+            return s.data
+    # Non-addressable (multi-host) or unexpected layout: global indexing
+    # still yields correct rows (XLA inserts the transfer).
+    return None
+
+
+def sharded_finalize_banded(
+    sc: ShardedCanvas,
+    out_h: int,
+    out_w: int,
+    bands: int = 8,
+    crop_h: Optional[int] = None,
+    crop_w: Optional[int] = None,
+    to_uint8: Any = False,
+    as_iterator: bool = False,
+):
+    """Final collapse + exact-size bicubic resize + quantize of a
+    :class:`ShardedCanvas`, each device producing its own output rows.
+
+    Math parity with :func:`srs_tpu.ops.blend.blend_finalize_banded` on the
+    gathered canvas. Output rows split uniformly over the ``space`` axis
+    (device d owns output rows [d*ceil(out_h/S), ...)); each device's rows
+    split further into ``ceil(bands/S)`` sub-bands so the host write
+    pipeline sees ~``bands`` chunks. Yields bands in global row order.
+    """
+    from ..ops.blend import _finalize_band
+    from ..ops.resize import _axis_plan, _band_matrix
+
+    S, axis, mesh = sc.s, sc.axis, sc.mesh
+    own0, hl0, own1, hl1 = sc.own0, sc.hl0, sc.own1, sc.hl1
+    tail0, tail1 = hl0 - own0, hl1 - own1
+    padded_h = S * own0 + tail0
+    ch_total = S * own1 + tail1
+    src_h = crop_h if crop_h is not None else padded_h
+    src_w = crop_w if crop_w is not None else sc.w_pad
+    if src_h > padded_h:
+        raise ValueError(f"crop_h={src_h} exceeds canvas rows {padded_h}")
+
+    idx_full, w_full = _axis_plan(src_h, out_h)
+    dev_out = -(-out_h // S)
+    sub = max(1, -(-bands // S))
+    sb = -(-dev_out // sub)
+
+    # Static per-(device, sub-band) source spans and window starts.
+    def g_row(d: int, k: int, j: int) -> int:
+        return min(d * dev_out + k * sb + j, out_h - 1)
+
+    lap_starts = np.zeros((S, sub), np.int64)
+    spans = np.zeros((S, sub), np.int64)
+    for d in range(S):
+        for k in range(sub):
+            rows = idx_full[[g_row(d, k, j) for j in range(sb)]]
+            lo, hi = int(rows.min()), int(rows.max()) + 1
+            spans[d, k] = hi - lo
+            lap_starts[d, k] = lo
+    band_src_h = int(min(spans.max() + 0, padded_h))
+    lap_starts = np.minimum(lap_starts, padded_h - band_src_h)
+    band_coarse_h = int(min(band_src_h // 2 + 4, ch_total))
+    ci0 = np.clip(lap_starts // 2 - 1, 0, ch_total - band_coarse_h)
+    up_off = lap_starts - 2 * ci0
+
+    dev_idx = np.arange(S, dtype=np.int64)[:, None]
+    h0t = int(max(0, (dev_idx * own0 - lap_starts).max()))
+    h0b = int(max(0, (lap_starts + band_src_h - (dev_idx + 1) * own0).max()))
+    h1t = int(max(0, (dev_idx * own1 - ci0).max()))
+    h1b = int(max(0, (ci0 + band_coarse_h - (dev_idx + 1) * own1).max()))
+    # A window may overhang into the NEXT device's owned rows (uniform
+    # output split vs the last device's extra tail rows makes the windows
+    # drift by up to tail0), but never past it.
+    if h0t > own0 or h0b > own0 or h1t > own1 or h1b > own1:
+        raise ValueError(
+            f"halo exceeds a full neighbor band: h0=({h0t},{h0b}) own0={own0} "
+            f"h1=({h1t},{h1b}) own1={own1}"
+        )
+
+    perm_down = [(d, d + 1) for d in range(S - 1)]
+    perm_up = [(d + 1, d) for d in range(S - 1)]
+    dev_rows = jnp.arange(S, dtype=jnp.int32).reshape(S, 1)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def extend(lap0_l, coarse_l, dev_row):
+        d = dev_row[0, 0]
+        is_last = (d == S - 1)[None, None, None]
+
+        def ext(x_l, own, ht, hb):
+            parts = []
+            if ht > 0:
+                # previous device's last owned rows; device 0 receives
+                # zeros (its window never reaches above global row 0).
+                parts.append(jax.lax.ppermute(x_l[own - ht : own], axis, perm_down))
+            parts.append(x_l[:own])
+            if hb > 0:
+                nxt = jax.lax.ppermute(x_l[:hb], axis, perm_up)
+                # interior: next device's first owned rows; last device:
+                # its own (valid) trailing canvas rows, zero-padded past
+                # the canvas bottom (windows never read those rows there).
+                avail = min(hb, x_l.shape[0] - own)
+                tail = x_l[own : own + avail]
+                if avail < hb:
+                    tail = jnp.concatenate(
+                        [tail, jnp.zeros((hb - avail, *x_l.shape[1:]), x_l.dtype)]
+                    )
+                parts.append(jnp.where(is_last, tail, nxt))
+            return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+        lap0_ext = ext(lap0_l, own0, h0t, h0b)[:, :src_w]
+        # coarse keeps full width: pyrUp then cut, so cropped columns still
+        # see their real neighbors instead of border rules.
+        coarse_ext = ext(coarse_l, own1, h1t, h1b)
+        return lap0_ext, coarse_ext
+
+    lap0_ext, coarse_ext = extend(sc.lap0, sc.coarse, dev_rows)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def fin(lap0_e, coarse_e, starts, rh):
+        return _finalize_band(
+            lap0_e, coarse_e, starts[0, 0], starts[0, 1], starts[0, 2],
+            rh[0], band_src_h, band_coarse_h, sb, out_w, to_uint8,
+        )
+
+    # Window starts in ext-local coordinates (ext row 0 = global row
+    # d*own - halo_top); up_offset is frame-independent (2:1 row map).
+    ext0_lap = dev_idx * own0 - h0t
+    ext0_coarse = dev_idx * own1 - h1t
+    handles = []
+    for k in range(sub):
+        starts_k = np.stack(
+            [lap_starts[:, k] - ext0_lap[:, 0], ci0[:, k] - ext0_coarse[:, 0],
+             up_off[:, k]], axis=1,
+        ).astype(np.int32)
+        rh_k = np.zeros((S, sb, band_src_h), np.float32)
+        for d in range(S):
+            rows_g = [g_row(d, k, j) for j in range(sb)]
+            rel = idx_full[rows_g] - lap_starts[d, k]
+            rh_k[d] = _band_matrix(rel, w_full[rows_g], band_src_h)
+        handles.append(fin(lap0_ext, coarse_ext, jnp.asarray(starts_k), jnp.asarray(rh_k)))
+
+    def bands_iter() -> Iterator[np.ndarray]:
+        for d in range(S):
+            for k in range(sub):
+                take = min(sb, dev_out - k * sb, out_h - d * dev_out - k * sb)
+                if take <= 0:
+                    continue
+                shard = _device_shard(handles[k], d * sb)
+                arr = (
+                    np.asarray(shard)[:take]
+                    if shard is not None
+                    else np.asarray(handles[k][d * sb : d * sb + take])
+                )
+                yield arr
+
+    if as_iterator:
+        return bands_iter()
+    _dt = np.uint16 if to_uint8 == "uint16" else (np.uint8 if to_uint8 else np.float32)
+    out_np = np.empty((out_h, out_w, 3), _dt)
+    r = 0
+    for arr in bands_iter():
+        out_np[r : r + arr.shape[0]] = arr
+        r += arr.shape[0]
+    return out_np

@@ -150,7 +150,8 @@ def sharded_laplacian_blend(
     mesh: Mesh,
     levels: int = 6,
     axis: str = "space",
-) -> jax.Array:
+    collapse_last: bool = True,
+):
     """Canvas-pyramid Laplacian blend with the canvas row-sharded over
     ``axis`` — the full multi-chip blend (SURVEY config[4]): per-level
     accumulation spills travel as one ppermute per level, and the collapse
@@ -163,6 +164,13 @@ def sharded_laplacian_blend(
     with the single-device `_canvas_pyramid_blend_profiles` path away from
     band boundaries; at boundaries the halo exchange reproduces the exact
     global operator. Returns the owned canvas rows [S*own, W, C].
+
+    ``collapse_last=False`` stops the collapse at level 1 and returns a
+    :class:`srs_tpu.parallel.finalize.ShardedCanvas` — the deferred
+    ``(lap0, coarse)`` pair kept row-sharded over ``axis`` for the sharded
+    banded finalize (no full-resolution canvas ever gathers on one chip;
+    SURVEY §7 hard part 2). Falls back to the collapsed path when the
+    layout only admits one pyramid level.
     """
     from ..ops.pyramid import build_gaussian_pyramid, pyr_up
     from ..ops.weights import profile_pyramid
@@ -177,6 +185,17 @@ def sharded_laplacian_blend(
     hl = (k - 1) * step_px + block
     w_pad = layout.padded_w
 
+    # Same level clamp as the single-device path (ops.blend
+    # laplacian_fusion_tiles): dyadic position alignment + overlap cap —
+    # the two paths must blend identically for checkpoint/mesh portability.
+    from ..ops.blend import _v2
+
+    if layout.num_tiles > 1:
+        align = min(
+            _v2(int(p)) for p in np.asarray(layout.positions).reshape(-1) if int(p) != 0
+        )
+        overlap_cap = max(1, int(np.log2(max(layout.overlap, 4))) - 1)
+        levels = max(1, min(levels, align + 1, overlap_cap))
     lv = levels
     while lv > 1 and (own % (2 ** (lv - 1)) or block // (2 ** (lv - 1)) < 4):
         lv -= 1
@@ -200,9 +219,11 @@ def sharded_laplacian_blend(
     perm_up = [(d + 1, d) for d in range(s_sz - 1)]
     dev_rows = jnp.arange(s_sz, dtype=jnp.int32).reshape(s_sz, 1)
 
+    deferred = (not collapse_last) and levels > 1
     in_specs = tuple([P(axis)] * (3 + 2 * levels))
+    out_specs = (P(axis), P(axis)) if deferred else P(axis)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     def blend(local_tiles, local_pos, dev_row, *profs):
         pys = profs[:levels]
         pxs = profs[levels:]
@@ -247,7 +268,8 @@ def sharded_laplacian_blend(
         # is complete (it received no spill-out) and owns the canvas
         # bottom. Halos come from the *owned* row positions of neighbors.
         x = canvas_lap[-1]
-        for i in range(len(gauss) - 2, -1, -1):
+        stop = 1 if deferred else 0
+        for i in range(len(gauss) - 2, stop - 1, -1):
             oc = own_i[i + 1] if i + 1 < len(own_i) else own_i[-1] // 2
             hc = x.shape[0]
             # row preceding d's band = d-1's local row oc-1;
@@ -268,9 +290,20 @@ def sharded_laplacian_blend(
             bot_row = jnp.where(is_bot, x[-1:], bot_from_below)
             up = _pyr_up_rows_halo(x, top_row, bot_row, hl_i[i], cw_i[i])
             x = canvas_lap[i] + up
+        if deferred:
+            return canvas_lap[0], x
         return x
 
     prof_args = [jnp.asarray(p) for p in py[:levels]] + [jnp.asarray(p) for p in px[:levels]]
+    if deferred:
+        from .finalize import ShardedCanvas
+
+        lap0, coarse = blend(tiles, rel, dev_rows, *prof_args)
+        return ShardedCanvas(
+            lap0=lap0, coarse=coarse, mesh=mesh, axis=axis, s=s_sz,
+            own0=own, hl0=hl, own1=own_i[1], hl1=hl_i[1],
+            w_pad=w_pad, cw1=cw_i[1],
+        )
     bands = blend(tiles, rel, dev_rows, *prof_args)  # [S*hl, W, C] globally
     parts = [
         jax.lax.dynamic_slice_in_dim(bands, d * hl, own if d < s_sz - 1 else hl, axis=0)

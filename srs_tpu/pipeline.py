@@ -407,9 +407,13 @@ class SuperResolutionPipeline:
                 and not self.config.enable_seam_repair
                 and not self.config.enable_color_correction
             ):
+                # Deferred: the blend returns a ShardedCanvas and the save
+                # stage streams each device's own quantized bands — no
+                # full-resolution canvas ever gathers on one chip.
                 return self.dispatcher.laplacian_blend(
                     up_tiles, profiles, out_layout,
                     levels=self.config.num_pyramid_levels,
+                    collapse_last=False,
                 )
             # Defer the level-0 collapse to the banded output programs when
             # nothing downstream needs the full-res canvas — the collapse of
@@ -695,7 +699,10 @@ class SuperResolutionPipeline:
                 src_dev = jnp.asarray(image, jnp.float32)
                 canvas = _cc(canvas, src_dev, method="histogram", local_filter=False)
 
-            jax.block_until_ready(canvas)
+            if hasattr(canvas, "block_until_ready"):
+                canvas.block_until_ready()
+            else:
+                jax.block_until_ready(canvas)
             stage_times["blending"] = time.time() - t0
 
             # ---- Stage 4: QA ----
@@ -707,10 +714,20 @@ class SuperResolutionPipeline:
             quality_score = None
             from .ops.blend import blend_finalize_banded
             from .ops.resize import resize_bicubic_banded
+            from .parallel.finalize import ShardedCanvas, sharded_finalize_banded
 
             deferred = isinstance(canvas, tuple)
+            sharded = isinstance(canvas, ShardedCanvas)
 
             def _banded_out(oh, ow, nbands, to_uint8, as_iterator=False):
+                if sharded:
+                    # Each device collapses + resizes + quantizes its own
+                    # output rows; the host streams bands per shard.
+                    return sharded_finalize_banded(
+                        canvas, oh, ow, bands=nbands,
+                        crop_h=crop_h, crop_w=crop_w, to_uint8=to_uint8,
+                        as_iterator=as_iterator,
+                    )
                 if deferred:
                     lap0, coarse = canvas
                     return blend_finalize_banded(

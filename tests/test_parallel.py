@@ -114,6 +114,80 @@ def test_sharded_laplacian_blend_matches_single_device(rng):
         np.testing.assert_allclose(got, ref[: got.shape[0]], atol=2e-4)
 
 
+def test_sharded_finalize_banded_matches_single_device(rng):
+    """Deferred sharded blend + sharded banded finalize == single-device
+    blend + banded finalize, without gathering the canvas (each stage's
+    arrays stay row-sharded; the host sees only per-device bands)."""
+    from srs_tpu.ops import blend as B
+    from srs_tpu.ops.weights import layout_weight_profiles
+    from srs_tpu.parallel.finalize import ShardedCanvas, sharded_finalize_banded
+    from srs_tpu.parallel.halo import sharded_laplacian_blend
+
+    S = 4
+    mesh = make_mesh({"space": S})
+    lo = compute_layout(300, 8 * 96 + 32, 128, 0.25, step_multiple=32)
+    img = rng.random((lo.image_h, lo.image_w, 3), dtype=np.float32) * 255
+    tiles = extract_tiles(pad_image(jnp.asarray(img), lo), lo)
+    prof = layout_weight_profiles(lo)
+
+    sc = sharded_laplacian_blend(
+        jnp.array(tiles), *prof, lo, mesh, levels=4, collapse_last=False
+    )
+    assert isinstance(sc, ShardedCanvas)
+    # the deferred pair stays row-sharded: every shard holds 1/S of the rows
+    assert len({s.index[0].start for s in sc.lap0.addressable_shards}) == S
+    assert sc.lap0.addressable_shards[0].data.shape[0] == sc.lap0.shape[0] // S
+
+    lap0_ref, coarse_ref = B.laplacian_fusion_tiles(
+        jnp.array(tiles), None, lo, levels=4,
+        weight_profiles=prof, clip_range=None, collapse_last=False,
+    )
+    crop_h, crop_w = lo.image_h, lo.image_w
+    for out_h, out_w, quant in (
+        (lo.image_h * 2 + 7, lo.image_w * 2 + 3, True),   # upscale, uint8
+        (lo.image_h // 2, lo.image_w // 2, False),        # downscale, float
+    ):
+        ref = B.blend_finalize_banded(
+            jnp.array(lap0_ref), jnp.array(coarse_ref), out_h, out_w,
+            bands=4, crop_h=crop_h, crop_w=crop_w, to_uint8=quant,
+        )
+        got = sharded_finalize_banded(
+            sc, out_h, out_w, bands=8, crop_h=crop_h, crop_w=crop_w,
+            to_uint8=quant,
+        )
+        assert got.shape == ref.shape and got.dtype == ref.dtype
+        if quant:
+            assert np.mean(np.abs(got.astype(np.int32) - ref.astype(np.int32)) > 1) < 1e-3
+        else:
+            np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_sharded_finalize_iterator_row_order(rng):
+    """Bands stream in global row order and reassemble exactly."""
+    from srs_tpu.ops.weights import layout_weight_profiles
+    from srs_tpu.parallel.finalize import sharded_finalize_banded
+    from srs_tpu.parallel.halo import sharded_laplacian_blend
+
+    mesh = make_mesh({"space": 8})
+    lo = compute_layout(260, 8 * 96 + 32, 128, 0.25, step_multiple=32)
+    img = rng.random((lo.image_h, lo.image_w, 3), dtype=np.float32) * 255
+    tiles = extract_tiles(pad_image(jnp.asarray(img), lo), lo)
+    prof = layout_weight_profiles(lo)
+    sc = sharded_laplacian_blend(tiles, *prof, lo, mesh, levels=3, collapse_last=False)
+    oh, ow = lo.image_h + 13, lo.image_w + 5
+    full = sharded_finalize_banded(
+        sc, oh, ow, bands=16, crop_h=lo.image_h, crop_w=lo.image_w, to_uint8=True
+    )
+    rows = list(
+        sharded_finalize_banded(
+            sc, oh, ow, bands=16, crop_h=lo.image_h, crop_w=lo.image_w,
+            to_uint8=True, as_iterator=True,
+        )
+    )
+    assert sum(r.shape[0] for r in rows) == oh
+    np.testing.assert_array_equal(np.concatenate(rows, axis=0), full)
+
+
 def test_sharded_laplacian_blend_validates_rows(rng):
     from srs_tpu.ops.weights import layout_weight_profiles
     from srs_tpu.parallel.halo import sharded_laplacian_blend
