@@ -18,16 +18,32 @@ from srs_tpu.models.registry import MODEL_REGISTRY  # noqa: E402
 from srs_tpu.models.train import eval_on_holdout, train_synthetic  # noqa: E402
 
 CONFIGS = [
-    # (model, scale, steps). x3 needs the longer schedule: the task has
-    # more headroom and small-corpus runs memorize instead of generalize.
-    ("espcn", 2, 8000),
-    ("espcn", 3, 12000),
-    ("edsr_m", 2, 8000),
-    ("edsr_m", 3, 14000),
+    # (model, scale, steps). ~35 ms/step on the tunneled v5e chip; the
+    # held-out panel keeps improving past 20k steps (EDSR most of all).
+    ("espcn", 2, 30000),
+    ("espcn", 3, 30000),
+    ("edsr_m", 2, 40000),
+    ("edsr_m", 3, 40000),
 ]
 
-CORPUS_N = 512
+CORPUS_N = 1536
 CORPUS_SIZE = 256
+
+
+def load_corpus(n: int = CORPUS_N, size: int = CORPUS_SIZE, seed: int = 0):
+    """Cached corpus (generation is minutes of host-side cv2)."""
+    import numpy as np
+
+    from srs_tpu.models.corpus import make_corpus
+
+    cache = f"/tmp/srs_corpus_{n}_{size}_{seed}.npy"
+    if os.path.exists(cache):
+        return np.load(cache)
+    t0 = time.time()
+    corpus = make_corpus(n, size, seed=seed)
+    np.save(cache, corpus)
+    print(f"corpus: {corpus.shape} in {time.time()-t0:.1f}s", flush=True)
+    return corpus
 
 
 def main() -> None:
@@ -36,11 +52,7 @@ def main() -> None:
         "srs_tpu", "models", "checkpoints",
     )
     os.makedirs(out_dir, exist_ok=True)
-    from srs_tpu.models.corpus import make_corpus
-
-    t0 = time.time()
-    corpus = make_corpus(CORPUS_N, CORPUS_SIZE, seed=0)
-    print(f"corpus: {corpus.shape} in {time.time()-t0:.1f}s", flush=True)
+    corpus = load_corpus()
     panel = {}
     for name, scale, steps in CONFIGS:
         t0 = time.time()
@@ -56,7 +68,7 @@ def main() -> None:
         kwargs = dict(spec.kwargs)
         kwargs.setdefault("scale", scale)
         module = spec.ctor(**kwargs)
-        stats = eval_on_holdout(module, params, scale, n=12, size=192)
+        stats = eval_on_holdout(module, params, scale, n=12, size=256)
         stats["final_loss"] = loss
         stats["train_seconds"] = time.time() - t0
         panel[f"{name}_x{scale}"] = stats

@@ -117,6 +117,11 @@ class SuperResolutionModule:
         del access_key, secret_key, region
         self.config = config or ModelConfig()
         self._apply_fns: Dict[Tuple[str, int], Callable] = {}
+        # (name, scale) -> served trained weights? IBP is applied only to
+        # untrained (bicubic-exact) nets: it is their quality floor, but it
+        # drags a trained net's learned deblurring back toward bicubic
+        # (held-out panel: net 31.58 dB vs net+IBP 30.83 dB).
+        self._trained: Dict[Tuple[str, int], bool] = {}
 
     # -- internals ---------------------------------------------------------
     def _net(self, role: str, scale: int) -> Callable[[jax.Array], jax.Array]:
@@ -125,12 +130,21 @@ class SuperResolutionModule:
             name, scale = "espcn_polish", 1
         key = (name, scale)
         if key not in self._apply_fns:
+            from .registry import is_pretrained
+
             module, params = build_model(
                 name, scale, self.config.checkpoint_dir,
                 dtype=jnp.dtype(self.config.compute_dtype),
             )
             self._apply_fns[key] = jax.jit(lambda x: module.apply(params, x))
+            self._trained[key] = is_pretrained(name, scale)
         return self._apply_fns[key]
+
+    def _net_trained(self, role: str, scale: int) -> bool:
+        name = self.config.quality_model if role == "quality" else self.config.fast_model
+        if role == "polish":
+            name, scale = "espcn_polish", 1
+        return self._trained.get((name, scale), False)
 
     @staticmethod
     def _to_batch(image: ImageLike) -> Tuple[jax.Array, bool, bool]:
@@ -229,6 +243,8 @@ class SuperResolutionModule:
             seed = self._deterministic_seed(image, block_id)
         out = self._run_net(x, "quality", target_scale)
         eff_scale = out.shape[1] / x.shape[1]
+        if self._net_trained("quality", int(eff_scale) if float(eff_scale).is_integer() else 2):
+            num_inference_steps = 0  # trained net: IBP would undo its detail
         if num_inference_steps > 0 and float(eff_scale).is_integer() and eff_scale > 1:
             out = back_project(
                 out, x, int(eff_scale), steps=min(num_inference_steps, 50),
@@ -416,14 +432,13 @@ class SuperResolutionModule:
         if provider == "bicubic":
             return resize_bicubic_up(tiles, scale)
         if provider == "zssr" and ("zssr", scale) in self._apply_fns:
+            # zssr params are trained (on the input itself) — no IBP.
             out = self._apply_fns[("zssr", scale)](tiles)
-            if steps > 0:
-                out = back_project(out, tiles, scale, steps=steps)
             return jnp.clip(out, 0, 255)
         role = "quality" if provider in ("quality", "seedream", "hybrid", "zssr") else "fast"
         out = self._net(role, scale)(tiles)
         if provider in ("hybrid",):
             out = self._net("polish", 1)(out)
-        if steps > 0:
+        if steps > 0 and not self._net_trained(role, scale):
             out = back_project(out, tiles, scale, steps=steps)
         return jnp.clip(out, 0, 255)

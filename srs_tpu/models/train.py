@@ -29,6 +29,8 @@ import optax
 from ..ops.resize import resize_bicubic
 
 __all__ = [
+    "downsample_area",
+    "degrade",
     "charbonnier_loss",
     "make_optimizer",
     "init_train_state",
@@ -38,6 +40,31 @@ __all__ = [
     "train_synthetic",
     "eval_on_holdout",
 ]
+
+
+def downsample_area(x: jax.Array, s: int) -> jax.Array:
+    """Integer-factor area (box-average) downsample of (..., H, W, C) —
+    cv2 INTER_AREA parity for integer factors."""
+    h, w = x.shape[-3] // s, x.shape[-2] // s
+    x = x.reshape(*x.shape[:-3], h, s, w, s, x.shape[-1])
+    return x.mean(axis=(-2, -4))
+
+
+def degrade(hr: jax.Array, patch: int, scale: int, method: str = "area") -> jax.Array:
+    """HR -> LR degradation for training pairs.
+
+    ``area`` (default) is the antialiased box filter — the SR-literature-
+    standard degradation (MATLAB imresize antialias) and the realistic
+    model for photographic inputs. ``bicubic`` is the cv2-INTER_CUBIC-
+    parity decimation (no antialias): its aliased LR makes the inverse
+    task nearly information-free — the measured optimal *linear* headroom
+    over bicubic upsampling on the procedural corpus is +0.16 dB aliased
+    vs +0.54 dB antialiased, so nets trained on the aliased pair plateau
+    at the bicubic floor.
+    """
+    if method == "area" and hr.shape[-3] == patch * scale:
+        return downsample_area(hr, scale)
+    return resize_bicubic(hr, patch, patch)
 
 
 def charbonnier_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-3) -> jax.Array:
@@ -87,8 +114,9 @@ def sample_patches(
     num: int,
     patch: int,
     scale: int,
+    degradation: str = "area",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Random HR patches + their bicubic LR counterparts.
+    """Random HR patches + their degraded LR counterparts.
 
     Returns (lr [num, patch, patch, C], hr [num, patch*scale, ...]).
     ``patch`` is the LR patch size.
@@ -99,7 +127,7 @@ def sample_patches(
     ys = rng.integers(0, h - hp + 1, num)
     xs = rng.integers(0, w - hp + 1, num)
     hr = np.stack([hr_image[y : y + hp, x : x + hp] for y, x in zip(ys, xs)]).astype(np.float32)
-    lr = np.asarray(resize_bicubic(jnp.asarray(hr), patch, patch))
+    lr = np.asarray(degrade(jnp.asarray(hr), patch, scale, degradation))
     return lr, hr
 
 
@@ -113,6 +141,7 @@ def zssr_finetune(
     batch: int = 16,
     lr: float = 1e-3,
     seed: int = 0,
+    degradation: str = "area",
 ) -> Any:
     """Zero-shot SR (Shocher et al. 2018 idea): treat the input image as HR
     ground truth, synthesize LR pairs by downscaling it further, and
@@ -127,7 +156,7 @@ def zssr_finetune(
     apply_fn = module.apply
     img = np.asarray(lr_image, np.float32)
     for _ in range(steps):
-        lrp, hrp = sample_patches(rng, img, batch, patch, scale)
+        lrp, hrp = sample_patches(rng, img, batch, patch, scale, degradation)
         params, opt_state, _ = train_step(
             apply_fn, params, opt_state, tx, jnp.asarray(lrp), jnp.asarray(hrp)
         )
@@ -164,6 +193,7 @@ def train_synthetic(
     scan_chunk: int = 50,
     log_fn: Optional[Callable[[int, float], None]] = None,
     corpus: Optional[np.ndarray] = None,
+    degradation: str = "area",
 ):
     """Pretrain a registry model on the procedural corpus (corpus.py).
 
@@ -210,10 +240,15 @@ def train_synthetic(
         hr = jax.vmap(
             lambda im, y, x: jax.lax.dynamic_slice(im, (y, x, 0), (hp, hp, 3))
         )(imgs, ys, xs)
-        flips = jax.random.bernoulli(kf, 0.5, (2, batch))
+        flips = jax.random.bernoulli(kf, 0.5, (3, batch))
         hr = jnp.where(flips[0][:, None, None, None], hr[:, :, ::-1], hr)
         hr = jnp.where(flips[1][:, None, None, None], hr[:, ::-1], hr)
-        lr_b = resize_bicubic(hr, patch, patch)
+        # transpose (patches are square): with the flips this spans the
+        # full dihedral-8 augmentation group
+        hr = jnp.where(
+            flips[2][:, None, None, None], jnp.transpose(hr, (0, 2, 1, 3)), hr
+        )
+        lr_b = degrade(hr, patch, scale, degradation)
 
         def loss_fn(p):
             return charbonnier_loss(module.apply(p, lr_b), hr)
@@ -249,9 +284,10 @@ def eval_on_holdout(
     params,
     scale: int,
     n: int = 8,
-    size: int = 192,
+    size: int = 256,
     seed: int = 100_000,
     ibp_steps: int = 8,
+    degradation: str = "area",
 ) -> Dict[str, float]:
     """Held-out PSNR panel: net vs bicubic vs bicubic+IBP vs net+IBP.
 
@@ -265,7 +301,7 @@ def eval_on_holdout(
 
     hr = jnp.asarray(make_corpus(n, size, seed))
     lh = size // scale
-    lr_b = resize_bicubic(hr, lh, lh)
+    lr_b = degrade(hr, lh, scale, degradation)
 
     def psnr(pred):
         mse = jnp.mean((pred - hr) ** 2, axis=(1, 2, 3))

@@ -170,6 +170,13 @@ class SuperResolutionPipeline:
         # monitor's Cancel button and any host thread can abort a
         # print-grade job without killing the process).
         self._cancel_event = threading.Event()
+        # Batch pipelining (process_batch): serializes the device stages
+        # (2-4) across worker threads so job N+1's SR/blend compute fills
+        # the chips while job N's save streams over the host link — the
+        # on-device analog of the reference's 60-concurrent tile requests
+        # across images (main.py:254-262).
+        self._stage_sem: Optional[threading.Semaphore] = None
+        self._sched_tlock = threading.Lock()
 
     def cancel(self) -> None:
         """Request cancellation; process() aborts at the next stage boundary."""
@@ -562,12 +569,15 @@ class SuperResolutionPipeline:
 
         self._run_async(run())
 
-    @staticmethod
-    def _run_async(coro) -> None:
+    def _run_async(self, coro) -> None:
         try:
             asyncio.get_running_loop()
         except RuntimeError:
-            asyncio.run(coro)
+            # Serialize across batch worker threads: each asyncio.run spins
+            # a fresh loop, and the scheduler's asyncio.Lock must not be
+            # awaited from two loops at once.
+            with self._sched_tlock:
+                asyncio.run(coro)
             return
         # inside a running loop: schedule without blocking
         asyncio.ensure_future(coro)
@@ -584,6 +594,7 @@ class SuperResolutionPipeline:
         stage_times: Dict[str, float] = {}
         self._ensure_engine()
         self._cancel_event.clear()
+        sem_held = False
         try:
             # ---- Stage 1: tiling ----
             t0 = time.time()
@@ -606,6 +617,10 @@ class SuperResolutionPipeline:
 
             # ---- Stage 2: parallel SR ----
             self._check_cancel("super_resolution")
+            if self._stage_sem is not None:
+                # batch pipelining: one job at a time in the device stages
+                self._stage_sem.acquire()
+                sem_held = True
             t0 = time.time()
             if self.config.provider == "zssr" and ladder:
                 # Zero-shot SR: fine-tune on the input itself so the net
@@ -763,6 +778,11 @@ class SuperResolutionPipeline:
                     )
                 quality_score = quality_report.get("overall_score")
             stage_times["quality_assessment"] = time.time() - t0
+            if sem_held:
+                # All device work (including the save bands) is dispatched;
+                # stage 5 is host/link-bound — let the next job's SR start.
+                self._stage_sem.release()
+                sem_held = False
 
             # ---- Stage 5: save ----
             self._check_cancel("save")
@@ -833,6 +853,8 @@ class SuperResolutionPipeline:
                 stage_times=stage_times,
             )
         except Exception as e:  # noqa: BLE001 - parity: never raise (main.py:425-441)
+            if sem_held:
+                self._stage_sem.release()
             logger.exception("pipeline failed")
             return PipelineResult(
                 success=False,
@@ -848,9 +870,9 @@ class SuperResolutionPipeline:
             )
 
     def process_batch(
-        self, jobs: List[Dict[str, Any]]
+        self, jobs: List[Dict[str, Any]], max_concurrent: int = 2
     ) -> List[PipelineResult]:
-        """Process multiple images in scheduler priority order.
+        """Process multiple images in scheduler priority order, pipelined.
 
         Each job: {"input": path, "output": path, optional "vip_level"
         (VIPLevel or int), "prompt", "roi_regions"}. Jobs are ordered by
@@ -858,6 +880,13 @@ class SuperResolutionPipeline:
         semantics of the reference's advanced page, pages/advanced_page.py)
         and the whole run shares one warm pipeline (one set of compiled
         programs when shapes repeat).
+
+        With ``max_concurrent > 1`` jobs run on a small worker pool with the
+        device stages (SR/blend/QA) serialized by a semaphore: job N+1's
+        tile batch computes while job N's quantized bands stream over the
+        host link and encode — the on-device analog of the reference's 60
+        concurrent tile requests across images (main.py:254-262), which on
+        a link-bound save hides most of a job's device time.
         """
         from .scheduler.scheduler import VIPLevel
 
@@ -869,9 +898,34 @@ class SuperResolutionPipeline:
 
         ordered = sorted(enumerate(jobs), key=lambda it: prio(it[1]))
         results: List[Optional[PipelineResult]] = [None] * len(jobs)
-        for idx, job in ordered:
-            results[idx] = self.process(
-                job["input"], job["output"],
-                prompt=job.get("prompt"), roi_regions=job.get("roi_regions"),
-            )
+        if self.config.provider == "zssr":
+            # zssr tunes per-image params held on the module — the
+            # prepare-and-upscale pair must not interleave across jobs
+            max_concurrent = 1
+        if max_concurrent <= 1 or len(jobs) < 2:
+            for idx, job in ordered:
+                results[idx] = self.process(
+                    job["input"], job["output"],
+                    prompt=job.get("prompt"), roi_regions=job.get("roi_regions"),
+                )
+            return results  # type: ignore[return-value]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ensure_engine()
+        self._stage_sem = threading.Semaphore(1)
+        try:
+            with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+                futures = [
+                    (idx, ex.submit(
+                        self.process, job["input"], job["output"],
+                        prompt=job.get("prompt"),
+                        roi_regions=job.get("roi_regions"),
+                    ))
+                    for idx, job in ordered
+                ]
+                for idx, fut in futures:
+                    results[idx] = fut.result()
+        finally:
+            self._stage_sem = None
         return results  # type: ignore[return-value]

@@ -196,6 +196,46 @@ def test_process_batch_priority_order(input_png, tmp_path):
     assert os.path.exists(str(tmp_path / "v.png"))
 
 
+def test_process_batch_pipelined_overlap(input_png, tmp_path):
+    """Pipelined batch: device stages of job N+1 may start as soon as job N
+    enters its save stage, outputs identical to sequential processing."""
+    import threading
+    import time as _time
+
+    pipe = SuperResolutionPipeline(_cfg())
+    jobs = [
+        {"input": input_png, "output": str(tmp_path / f"b{i}.png")}
+        for i in range(3)
+    ]
+    events = []
+    ev_lock = threading.Lock()
+    orig_process = pipe.process
+
+    def traced(inp, outp, **kw):
+        with ev_lock:
+            events.append(("start", outp, _time.time()))
+        r = orig_process(inp, outp, **kw)
+        with ev_lock:
+            events.append(("end", outp, _time.time()))
+        return r
+
+    pipe.process = traced
+    results = pipe.process_batch(jobs, max_concurrent=2)
+    assert all(r.success for r in results), [r.error_message for r in results]
+    assert pipe._stage_sem is None  # cleared after the batch
+    # overlap: some job started before the previous one ended
+    starts = sorted(t for k, _, t in events if k == "start")
+    ends = sorted(t for k, _, t in events if k == "end")
+    assert starts[1] < ends[0] + 1e-9
+    # outputs identical to a sequential run
+    seq = SuperResolutionPipeline(_cfg())
+    r0 = seq.process(input_png, str(tmp_path / "seq.png"))
+    assert r0.success
+    a = np.asarray(Image.open(jobs[1]["output"]))
+    b = np.asarray(Image.open(str(tmp_path / "seq.png")))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_mesh_space_sharded_blend(tmp_path):
     """Laplacian blend sharded over the space axis inside the pipeline."""
     r = np.random.default_rng(9)
