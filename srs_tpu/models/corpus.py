@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["make_corpus", "render_image"]
+__all__ = ["make_corpus", "render_image", "render_natural"]
 
 
 def _fractal_noise(rng: np.random.Generator, size: int, alpha: float) -> np.ndarray:
@@ -232,6 +232,22 @@ def render_image(seed: int, size: int = 256) -> np.ndarray:
             np.ascontiguousarray(img, np.float32), (size, size),
             interpolation=cv2.INTER_AREA,
         )
+    return np.clip(img, 0.0, 255.0).astype(np.float32)
+
+
+def render_natural(seed: int, size: int = 256) -> np.ndarray:
+    """One deterministic *natural-statistics* image: 1/f^a spectrum base
+    (the classic natural-image power-law) with phase-coherent overlays for
+    edge structure. This is the pristine family for the packaged NIQE
+    model (qa/niqe.py): published NIQE is defined as deviation from
+    pristine *natural* NSS — hard-edged synthetic graphics (documents,
+    checkers) have non-natural statistics that blurring moves *toward*
+    Gaussian, so they cannot serve as a pristine reference."""
+    import cv2  # noqa: F401  (used by _draw_overlays)
+
+    rng = np.random.default_rng(seed)
+    img = _fractal_noise(rng, size, rng.uniform(1.0, 1.8))
+    img = _draw_overlays(rng, img)
     return np.clip(img, 0.0, 255.0).astype(np.float32)
 
 

@@ -74,8 +74,13 @@ def is_pretrained(name: str, scale: int = 2) -> bool:
 PACKAGED_CHECKPOINT_DIR = os.path.join(os.path.dirname(__file__), "checkpoints")
 
 
-def _try_load_checkpoint(name: str, scale: int, checkpoint_dir: Optional[str]):
-    """User checkpoint_dir first, then the packaged pretrained weights."""
+def _try_load_checkpoint(name: str, scale: int, checkpoint_dir: Optional[str], module):
+    """User checkpoint_dir first, then the packaged pretrained weights.
+
+    Restores against the module's abstract param tree (``jax.eval_shape``)
+    so checkpoints written on one backend (the packaged ones were trained
+    on TPU and embed TPU shardings) load on any — CPU tests, the virtual
+    mesh, or a different chip."""
     dirs = [checkpoint_dir, PACKAGED_CHECKPOINT_DIR]
     for d in dirs:
         if not d:
@@ -86,8 +91,18 @@ def _try_load_checkpoint(name: str, scale: int, checkpoint_dir: Optional[str]):
         try:
             import orbax.checkpoint as ocp
 
+            abstract = jax.eval_shape(
+                lambda: module.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+                )
+            )
+            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
+                abstract,
+            )
             ckptr = ocp.StandardCheckpointer()
-            return ckptr.restore(os.path.abspath(path))
+            return ckptr.restore(os.path.abspath(path), abstract)
         except Exception:
             continue
     return None
@@ -120,7 +135,7 @@ def build_model(
         return _CACHE[key]
     module = spec.ctor(**kwargs)
     params = (
-        _try_load_checkpoint(name, kwargs["scale"], checkpoint_dir)
+        _try_load_checkpoint(name, kwargs["scale"], checkpoint_dir, module)
         if pretrained
         else None
     )

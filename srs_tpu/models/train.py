@@ -301,6 +301,7 @@ def eval_on_holdout(
 
     hr = jnp.asarray(make_corpus(n, size, seed))
     lh = size // scale
+    hr = hr[:, : lh * scale, : lh * scale]  # crop to a scale multiple
     lr_b = degrade(hr, lh, scale, degradation)
 
     def psnr(pred):

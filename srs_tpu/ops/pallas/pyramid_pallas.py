@@ -90,14 +90,14 @@ def pyr_down_fused(x: jax.Array, interpret: bool = False) -> jax.Array:
     """pyrDown on (..., H, W, C): channels folded into the grid so the
     kernel's lane dimension is W. Falls back to the XLA path when the
     plane + decimation matrices exceed a safe VMEM budget."""
-    from ..pyramid import pyr_down
+    from ..pyramid import _pyr_down_xla
 
     *lead, h, w, c = x.shape
     m_h_, m_w_ = (h + 1) // 2, (w + 1) // 2
     # double-buffered in/out blocks + resident matrices + matmul temp
     vmem_bytes = (2 * (h * w + m_h_ * m_w_) + m_h_ * h + m_w_ * w + m_h_ * w) * 4
     if vmem_bytes > 13 * 1024 * 1024 or min(h, w) < 8:
-        return pyr_down(x)
+        return _pyr_down_xla(x)
     planes = jnp.moveaxis(x, -1, 0).reshape(-1, h, w).astype(jnp.float32)
     out = pyr_down_pallas(planes, interpret=interpret)
     m_h, m_w = (h + 1) // 2, (w + 1) // 2

@@ -21,6 +21,7 @@ all shapes static.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -32,7 +33,25 @@ __all__ = [
     "build_gaussian_pyramid",
     "build_laplacian_pyramid",
     "collapse_laplacian_pyramid",
+    "set_pallas_pyrdown",
 ]
+
+# Route pyrDown through the Pallas MXU decimation-matmul kernel
+# (ops/pallas/pyramid_pallas.py) when it fits VMEM. Off by default: the
+# measured real-chip numbers (BENCH_LOCAL.md) show the XLA shifted-add
+# path is already HBM-bandwidth-bound and the kernel only engages for
+# <=~768 px planes (coarse pyramid levels), where both are sub-ms.
+_PALLAS_PYRDOWN = os.environ.get("SRS_PALLAS_PYRDOWN", "0") == "1"
+
+
+def set_pallas_pyrdown(enabled: bool) -> None:
+    """Toggle the Pallas pyrDown kernel (TPU only; no-op elsewhere)."""
+    global _PALLAS_PYRDOWN
+    _PALLAS_PYRDOWN = bool(enabled)
+
+
+def _pallas_active() -> bool:
+    return _PALLAS_PYRDOWN and jax.default_backend() == "tpu"
 
 # Binomial taps as exact float32 fractions of 1/16.
 _G = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
@@ -93,10 +112,19 @@ def _up_axis(x: jax.Array, axis: int, out_n: int) -> jax.Array:
     return interleave_axis([even, odd], axis, out_n)
 
 
-def pyr_down(x: jax.Array) -> jax.Array:
-    """OpenCV-parity pyrDown on (..., H, W, C): blur + 2x decimate."""
+def _pyr_down_xla(x: jax.Array) -> jax.Array:
+    """XLA shifted-add pyrDown (the default production path)."""
     ah, aw = _axis_hw(x)
     return _down_axis(_down_axis(x, ah), aw)
+
+
+def pyr_down(x: jax.Array) -> jax.Array:
+    """OpenCV-parity pyrDown on (..., H, W, C): blur + 2x decimate."""
+    if _pallas_active():
+        from .pallas.pyramid_pallas import pyr_down_fused
+
+        return pyr_down_fused(x)
+    return _pyr_down_xla(x)
 
 
 def pyr_up(x: jax.Array, dst_hw: Tuple[int, int] | None = None) -> jax.Array:

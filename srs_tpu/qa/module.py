@@ -104,10 +104,23 @@ class QualityAssessmentModule:
         return _f(self._lpips(a, b, net=net))
 
     def calculate_niqe(self, image) -> float:
-        return _f(N.niqe(self._preprocess(image)))
+        """Full NIQE (packaged pristine model, qa/niqe.py) when available —
+        the analog of the reference preferring pyiqa's pretrained NIQE
+        (qa:148-167) — else the closed-form fallback."""
+        from .niqe import niqe_score
+
+        img = self._preprocess(image)
+        v = niqe_score(img)
+        return float(v) if v is not None else _f(N.niqe(img))
 
     def calculate_brisque(self, image) -> float:
-        return _f(N.brisque(self._preprocess(image)))
+        """Trained BRISQUE (packaged ridge regressor) when available, else
+        the closed-form fallback."""
+        from .niqe import brisque_score
+
+        img = self._preprocess(image)
+        v = brisque_score(img)
+        return float(v) if v is not None else _f(N.brisque(img))
 
     def downsample_bicubic(self, image, scale_factor: float) -> np.ndarray:
         if not (0.0 < scale_factor < 1.0):
@@ -184,11 +197,22 @@ class QualityAssessmentModule:
         return float(np.mean(scores)) if scores else 0.0
 
     def evaluate_no_reference(self, image) -> Dict[str, Any]:
-        """No-reference evaluation (reference: qa:721-749)."""
+        """No-reference evaluation (reference: qa:721-749). NIQE/BRISQUE
+        come from the packaged pretrained models when present (the
+        reference's preferred pyiqa tier) with the closed-form scores as
+        fallback."""
+        from .niqe import brisque_score, niqe_score
+
         t = self.thresholds
         img = self._preprocess(image)
         raw = N.no_reference_metrics(img)
         metrics = {k: _f(v) for k, v in raw.items()}
+        v = niqe_score(img)
+        if v is not None:
+            metrics["niqe"] = float(v)
+        v = brisque_score(img)
+        if v is not None:
+            metrics["brisque"] = float(v)
         metrics["niqe_level"] = self._level(
             metrics["niqe"], t.niqe_excellent, t.niqe_good, t.niqe_acceptable, lower_better=True
         )

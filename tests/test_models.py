@@ -229,3 +229,23 @@ def test_train_from_images_and_checkpoint(tmp_path):
         assert out.shape == (1, 32, 32, 3)
     finally:
         clear_param_cache()
+
+
+def test_packaged_checkpoints_beat_bicubic():
+    """The shipped trained weights give real uplift: held-out PSNR of the
+    net beats both bicubic and bicubic+IBP by >= 0.5 dB (the reference's
+    providers add learned detail, super_resolution_module.py:561-711; an
+    untrained zero-residual net would tie bicubic exactly)."""
+    from srs_tpu.models.registry import build_model, clear_param_cache, is_pretrained
+    from srs_tpu.models.train import eval_on_holdout
+
+    clear_param_cache()
+    try:
+        for name in ("espcn", "edsr_m"):
+            m, p = build_model(name, 2)
+            assert is_pretrained(name, 2), f"packaged {name}_x2 failed to load"
+            stats = eval_on_holdout(m, p, 2, n=4, size=192)
+            floor = max(stats["psnr_bicubic"], stats["psnr_bicubic_ibp"])
+            assert stats["psnr_net"] >= floor + 0.5, (name, stats)
+    finally:
+        clear_param_cache()

@@ -31,3 +31,25 @@ def test_pyr_down_fused_large_falls_back(rng):
     got = np.asarray(pyr_down_fused(jnp.asarray(img)))
     assert got.shape == (1, 1024, 1024, 1)
     np.testing.assert_allclose(got[0, ..., 0], cv2.pyrDown(img[0, ..., 0]), atol=ULP)
+
+
+def test_pyr_down_dispatch_flag(rng, monkeypatch):
+    """pyr_down routes through the Pallas kernel when the flag is on AND
+    the backend is TPU; the XLA path otherwise."""
+    from srs_tpu.ops import pyramid as P
+
+    calls = []
+    monkeypatch.setattr(
+        "srs_tpu.ops.pallas.pyramid_pallas.pyr_down_fused",
+        lambda x: calls.append(1) or P._pyr_down_xla(x),
+    )
+    img = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    try:
+        P.set_pallas_pyrdown(True)
+        _ = P.pyr_down(img)
+        assert not calls  # CPU backend: flag alone must not engage it
+        monkeypatch.setattr(P.jax, "default_backend", lambda: "tpu")
+        _ = P.pyr_down(img)
+        assert calls  # TPU backend + flag: kernel path taken
+    finally:
+        P.set_pallas_pyrdown(False)

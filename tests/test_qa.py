@@ -183,3 +183,57 @@ def test_downsample_bicubic_validation(pair):
         qam.downsample_bicubic(clean, 1.5)
     d = qam.downsample_bicubic(clean, 0.5)
     assert d.shape[:2] == (64, 64)
+
+
+def test_full_niqe_orders_distortions():
+    """Packaged NIQE pristine model: distortion -> higher score on
+    natural-statistics images (the family NIQE is defined over; synthetic
+    hard-edged graphics have non-natural NSS that blur moves *toward* the
+    Gaussian, so no pristine model can rank them — matching published
+    NIQE's known behavior on cartoons/documents)."""
+    import cv2
+
+    from srs_tpu.models.corpus import render_natural
+    from srs_tpu.qa.niqe import niqe_score
+
+    panel = {"clean": [], "blur": [], "noise": []}
+    for seed in (910_000, 910_001, 910_002, 910_003):  # disjoint from fit
+        img = render_natural(seed, 256)
+        clean = niqe_score(jnp.asarray(img))
+        assert clean is not None, "pristine model should be packaged"
+        blur = cv2.GaussianBlur(img, (0, 0), 2.2)
+        noisy = np.clip(
+            img + np.random.default_rng(0).normal(0, 25, img.shape), 0, 255
+        ).astype(np.float32)
+        panel["clean"].append(clean)
+        panel["blur"].append(niqe_score(jnp.asarray(blur)))
+        panel["noise"].append(niqe_score(jnp.asarray(noisy)))
+    means = {k: float(np.mean(v)) for k, v in panel.items()}
+    assert means["blur"] > means["clean"] + 2.0, means
+    assert means["noise"] > means["clean"] + 20.0, means
+
+
+def test_trained_brisque_monotone_in_severity():
+    import cv2
+
+    from srs_tpu.models.corpus import render_natural
+    from srs_tpu.qa.niqe import brisque_score
+
+    img = render_natural(910_002, 256)
+    scores = [brisque_score(jnp.asarray(cv2.GaussianBlur(img, (0, 0), s)))
+              for s in (0.6, 1.6, 3.5)]
+    assert scores[0] is not None
+    assert scores[0] < scores[2], scores  # heavier blur scores worse
+
+
+def test_module_prefers_packaged_nr_models():
+    from srs_tpu.models.corpus import render_image
+    from srs_tpu.qa.module import QualityAssessmentModule
+    from srs_tpu.qa.niqe import brisque_score, niqe_score
+
+    img = render_image(777_002, 256)
+    qa = QualityAssessmentModule()
+    m = qa.evaluate_no_reference(img)
+    assert abs(m["niqe"] - niqe_score(jnp.asarray(img.astype(np.float32)))) < 1e-6
+    assert abs(m["brisque"] - brisque_score(jnp.asarray(img.astype(np.float32)))) < 1e-6
+    assert m["niqe_level"] in ("excellent", "good", "fair", "poor")
