@@ -37,7 +37,11 @@ def distort(img: np.ndarray, kind: str, level: int) -> np.ndarray:
     """level 1..5, increasing severity."""
     import cv2
 
-    rng = np.random.default_rng(level * 1000 + hash(kind) % 1000)
+    import zlib
+
+    # crc32, not hash(): str hash is salted per process and would make the
+    # fitted models differ run to run.
+    rng = np.random.default_rng(level * 1000 + zlib.crc32(kind.encode()) % 1000)
     if kind == "blur":
         sigma = [0.6, 1.0, 1.6, 2.4, 3.5][level - 1]
         return cv2.GaussianBlur(img, (0, 0), sigma)
@@ -108,6 +112,38 @@ def main() -> None:
     rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
     np.savez(os.path.join(DATA_DIR, "brisque_model.npz"), w=w, b=b, mu=mu, sd=sd)
     print(f"brisque: corr={corr:.3f} rmse={rmse:.1f} over {len(y)} samples")
+
+    # ---- LPIPS threshold calibration ----
+    # The reference's QualityThresholds LPIPS levels (0.02/0.05/0.10) are
+    # calibrated for torch-lpips; the random-feature metric has a
+    # different numeric scale. Calibrate level cut-offs as the median
+    # distance at distortion severities 1/2/3 of the ladder, so
+    # `lpips_level` labels carry the intended "imperceptible / slight /
+    # acceptable" semantics under *this* metric.
+    import json
+
+    from srs_tpu.models.lpips import LPIPSMetric
+
+    lp = LPIPSMetric()
+    per_level: dict = {1: [], 2: [], 3: [], 4: [], 5: []}
+    for i in range(16):
+        render = render_natural if i % 2 else render_image
+        img = render(SEED0 + 20_000 + i, 192)
+        a = jnp.asarray(img)
+        for kind in ("blur", "noise", "jpeg", "upscale"):
+            for level in (1, 2, 3, 4, 5):
+                d = float(lp(a, jnp.asarray(distort(img, kind, level))))
+                per_level[level].append(d)
+    med = {lv: float(np.median(v)) for lv, v in per_level.items()}
+    calib = {
+        "lpips_excellent": round(med[1], 4),
+        "lpips_good": round(med[2], 4),
+        "lpips_acceptable": round(med[3], 4),
+        "medians_by_severity": med,
+    }
+    with open(os.path.join(DATA_DIR, "lpips_calib.json"), "w") as f:
+        json.dump(calib, f, indent=2)
+    print("lpips calibration:", json.dumps(calib))
     print("DONE")
 
 

@@ -20,10 +20,13 @@ from srs_tpu.models.train import eval_on_holdout, train_synthetic  # noqa: E402
 CONFIGS = [
     # (model, scale, steps). ~35 ms/step on the tunneled v5e chip; the
     # held-out panel keeps improving past 20k steps (EDSR most of all).
+    # Select a subset with: python scripts/pretrain.py --only espcn_x4,edsr_m_x4
     ("espcn", 2, 30000),
     ("espcn", 3, 30000),
+    ("espcn", 4, 30000),
     ("edsr_m", 2, 40000),
     ("edsr_m", 3, 40000),
+    ("edsr_m", 4, 40000),
 ]
 
 CORPUS_N = 1536
@@ -47,14 +50,26 @@ def load_corpus(n: int = CORPUS_N, size: int = CORPUS_SIZE, seed: int = 0):
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    argv = [a for a in sys.argv[1:]]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    out_dir = argv[0] if argv else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "srs_tpu", "models", "checkpoints",
     )
     os.makedirs(out_dir, exist_ok=True)
     corpus = load_corpus()
+    # Merge into an existing eval panel so partial runs accumulate.
+    panel_path = os.path.join(out_dir, "EVAL.json")
     panel = {}
-    for name, scale, steps in CONFIGS:
+    if os.path.exists(panel_path):
+        with open(panel_path) as f:
+            panel = json.load(f)
+    configs = [c for c in CONFIGS if only is None or f"{c[0]}_x{c[1]}" in only]
+    for name, scale, steps in configs:
         t0 = time.time()
         params, loss = train_synthetic(
             name, scale, steps=steps, corpus_n=CORPUS_N, corpus_size=CORPUS_SIZE,

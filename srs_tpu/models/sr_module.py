@@ -98,6 +98,56 @@ class SuperResolutionResult:
 ImageLike = Union["Image.Image", np.ndarray, jax.Array]
 
 
+def scale_ladder(
+    total: float,
+    max_undershoot: float = 0.88,
+    trained: Optional[set] = None,
+) -> list:
+    """Ladder of {2,3,4}x net passes landing nearest ``total``.
+
+    Slight undershoot (down to ``max_undershoot * total``, finished by a
+    small bicubic upscale) is allowed with a quadratic penalty: overshoot
+    costs quadratically in extra pixels (canvas area ~ p^2), so e.g. for a
+    9.57x target the 9x ladder (74 MP canvas, +6% bicubic) beats the 12x
+    one (132 MP canvas). When ``trained`` is given (the set of integer
+    scales with shipped/loaded weights), each untrained step multiplies the
+    score by 4: an untrained step is exact bicubic and adds zero learned
+    detail, so e.g. at 4x the trained [2, 2] ladder beats a zero-init [4]
+    regardless of pixel cost. Returns [] when total <= 1.
+    """
+    if total <= 1.0:
+        return []
+    best: Tuple[float, list] = (float("inf"), [4, 4, 4, 4])
+
+    def score(prod: float, steps: list) -> float:
+        if prod >= total:
+            s = (prod / total) ** 2
+        elif prod < total * max_undershoot:
+            return float("inf")
+        else:
+            s = (total / prod) ** 2 * 1.05
+        if trained is not None:
+            for st in steps:
+                if st not in trained:
+                    s *= 4.0
+        return s
+
+    def rec(prod: float, steps: list):
+        nonlocal best
+        s_here = score(prod, steps)
+        if steps and s_here < best[0]:
+            best = (s_here, list(steps))
+        if prod >= total * 4:
+            return
+        for s in (2, 3, 4):
+            steps.append(s)
+            rec(prod * s, steps)
+            steps.pop()
+
+    rec(1.0, [])
+    return best[1]
+
+
 class SuperResolutionModule:
     """On-device SR engine with provider dispatch and the hybrid ladder."""
 
@@ -170,17 +220,19 @@ class SuperResolutionModule:
         return arr.astype(np.float32)
 
     def _run_net(self, x: jax.Array, role: str, scale: float) -> jax.Array:
-        """Apply a net at the nearest supported integer scale, finishing
-        with bicubic to the exact target (reference maps arbitrary scales to
-        a fixed SIZE_MAP, sr:259-264; we resolve exactly)."""
+        """Apply a ladder of net passes (scale_ladder factorization,
+        preferring trained steps), finishing with bicubic to the exact
+        target (reference maps arbitrary scales to a fixed SIZE_MAP,
+        sr:259-264; we resolve exactly)."""
         target_h = int(round(x.shape[1] * scale))
         target_w = int(round(x.shape[2] * scale))
+        name = self.config.quality_model if role == "quality" else self.config.fast_model
+        from .registry import is_pretrained
+
+        trained = {s for s in (2, 3, 4) if is_pretrained(name, s)}
         cur = x
-        remaining = scale
-        while remaining > 1.0 + 1e-6:
-            s = min(4, max(2, int(np.ceil(remaining))))
+        for s in scale_ladder(scale, trained=trained):
             cur = self._net(role, s)(cur)
-            remaining /= s
         if role == "polish":
             cur = self._net("polish", 1)(cur)
         if cur.shape[1] != target_h or cur.shape[2] != target_w:
@@ -421,6 +473,17 @@ class SuperResolutionModule:
         self._apply_fns[("zssr", scale)] = jax.jit(lambda x: module.apply(tuned, x))
 
     # -- batch device path (pipeline hot path) -----------------------------
+    def trained_scales(self, provider: str = "quality") -> set:
+        """Integer net scales {2,3,4} with trained weights for the model
+        the given provider resolves to. Drives the pipeline's ladder
+        factorization: an untrained step is exact bicubic, so the ladder
+        prefers e.g. trained [2, 2] over zero-init [4] at 4x."""
+        from .registry import is_pretrained
+
+        role = "quality" if provider in ("quality", "seedream", "hybrid", "zssr") else "fast"
+        name = self.config.quality_model if role == "quality" else self.config.fast_model
+        return {s for s in (2, 3, 4) if is_pretrained(name, s)}
+
     def upscale_tiles(
         self, tiles: jax.Array, scale: int, provider: str = "quality", steps: int = 0
     ) -> jax.Array:

@@ -102,40 +102,9 @@ class PipelineResult:
     stage_times: Dict[str, float] = field(default_factory=dict)
 
 
-def _scale_ladder(total: float, max_undershoot: float = 0.88) -> List[int]:
-    """Ladder of {2,3,4}x net passes landing nearest ``total``.
-
-    Slight undershoot (down to ``max_undershoot * total``, finished by a
-    small bicubic upscale) is allowed with a quadratic penalty: overshoot
-    costs quadratically in extra pixels (canvas area ~ p^2), so e.g. for a
-    9.57x target the 9x ladder (74 MP canvas, +6% bicubic) beats the 12x
-    one (132 MP canvas). Returns [] when total <= 1.
-    """
-    if total <= 1.0:
-        return []
-    best: Tuple[float, List[int]] = (float("inf"), [4, 4, 4, 4])
-
-    def score(prod: float) -> float:
-        if prod >= total:
-            return (prod / total) ** 2
-        if prod < total * max_undershoot:
-            return float("inf")
-        return (total / prod) ** 2 * 1.05
-
-    def rec(prod: float, steps: List[int]):
-        nonlocal best
-        s_here = score(prod)
-        if steps and s_here < best[0]:
-            best = (s_here, list(steps))
-        if prod >= total * 4:
-            return
-        for s in (2, 3, 4):
-            steps.append(s)
-            rec(prod * s, steps)
-            steps.pop()
-
-    rec(1.0, [])
-    return best[1]
+# Ladder factorization lives with the SR engine; re-exported here for the
+# tests and historical imports.
+from .models.sr_module import scale_ladder as _scale_ladder  # noqa: E402
 
 
 class SuperResolutionPipeline:
@@ -248,6 +217,17 @@ class SuperResolutionPipeline:
             return (tw, th)
 
     # -- device stages -----------------------------------------------------
+    def _trained_scales(self, provider: Optional[str] = None) -> Optional[set]:
+        """Trained net scales for the active provider (None = no
+        preference, e.g. provider=bicubic or engine not built)."""
+        p = provider or self.config.provider
+        if p == "bicubic" or self.sr_module is None:
+            return None
+        try:
+            return self.sr_module.trained_scales(p)
+        except Exception:
+            return None
+
     def _upscale_batch(
         self, tiles: jnp.ndarray, ladder: List[int], provider: Optional[str] = None
     ) -> jnp.ndarray:
@@ -343,7 +323,7 @@ class SuperResolutionPipeline:
                     if cfg.get("use_fallback_engine"):
                         provider = self._FALLBACK_PROVIDERS.get(cur, "bicubic")
                     new_scale = float(degraded[0].scale_factor)
-                    ladder = _scale_ladder(new_scale)
+                    ladder = _scale_ladder(new_scale, trained=self._trained_scales(provider))
                     layout = compute_layout(
                         image.shape[1], image.shape[0], block,
                         overlap_px / max(block, 1),
@@ -602,7 +582,7 @@ class SuperResolutionPipeline:
             h, w = image.shape[:2]
             tw, th = self._calculate_target_size((w, h), self.config.target_resolution)
             scale_total = max(tw / w, th / h)
-            ladder = _scale_ladder(scale_total)
+            ladder = _scale_ladder(scale_total, trained=self._trained_scales())
             net_scale = int(np.prod(ladder)) if ladder else 1
             layout, tiles = self.tiling_module.split_to_batch(image)
             image_hash = self.tiling_module.compute_image_hash(

@@ -36,6 +36,38 @@ def _f(x) -> float:
     return float(np.asarray(x))
 
 
+def _calibrated_thresholds(t: QualityThresholds) -> QualityThresholds:
+    """Swap the reference's torch-lpips level cut-offs (0.02/0.05/0.10,
+    reference: qa:60-75) for values calibrated to the random-feature LPIPS
+    actually used here (scripts/fit_qa_models.py medians at distortion
+    severities 1/2/3, packaged as qa/data/lpips_calib.json). User-supplied
+    non-default thresholds are respected untouched."""
+    defaults = QualityThresholds()
+    if (t.lpips_excellent, t.lpips_good, t.lpips_acceptable) != (
+        defaults.lpips_excellent,
+        defaults.lpips_good,
+        defaults.lpips_acceptable,
+    ):
+        return t
+    import os
+    from dataclasses import replace
+
+    path = os.path.join(os.path.dirname(__file__), "data", "lpips_calib.json")
+    if not os.path.exists(path):
+        return t
+    try:
+        with open(path) as f:
+            c = json.load(f)
+        return replace(
+            t,
+            lpips_excellent=float(c["lpips_excellent"]),
+            lpips_good=float(c["lpips_good"]),
+            lpips_acceptable=float(c["lpips_acceptable"]),
+        )
+    except Exception:
+        return t
+
+
 class QualityAssessmentModule:
     """Device-accelerated full/no-reference/commercial image QA."""
 
@@ -46,7 +78,7 @@ class QualityAssessmentModule:
         lpips_model=None,
     ):
         self.config = config or QualityAssessmentConfig()
-        self.thresholds = self.config.thresholds
+        self.thresholds = _calibrated_thresholds(self.config.thresholds)
         self.device = device
         # LPIPS feature net (flax); injected or lazily built by
         # srs_tpu.models.lpips. None disables the lpips_* keys, mirroring

@@ -56,6 +56,16 @@ def test_scale_ladder():
         assert p >= t * 0.88  # never undershoots beyond the bicubic margin
 
 
+def test_scale_ladder_prefers_trained():
+    """An untrained step is exact bicubic (zero learned detail): with
+    trained={2,3} the 4x ladder must be [2, 2], never a zero-init [4]."""
+    assert _scale_ladder(4.0, trained={2, 3}) == [2, 2]
+    assert all(s in (2, 3) for s in _scale_ladder(16.0, trained={2, 3}))
+    # but an impossible preference never blocks reaching the target scale
+    p = int(np.prod(_scale_ladder(7.9, trained=set())))
+    assert p >= 7.9 * 0.88
+
+
 def test_process_end_to_end(input_png, tmp_path):
     out = str(tmp_path / "out.png")
     pipe = SuperResolutionPipeline(_cfg())
@@ -236,6 +246,7 @@ def test_process_batch_pipelined_overlap(input_png, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_mesh_space_sharded_blend(tmp_path):
     """Laplacian blend sharded over the space axis inside the pipeline."""
     r = np.random.default_rng(9)

@@ -237,3 +237,20 @@ def test_module_prefers_packaged_nr_models():
     assert abs(m["niqe"] - niqe_score(jnp.asarray(img.astype(np.float32)))) < 1e-6
     assert abs(m["brisque"] - brisque_score(jnp.asarray(img.astype(np.float32)))) < 1e-6
     assert m["niqe_level"] in ("excellent", "good", "fair", "poor")
+
+
+def test_lpips_thresholds_calibrated():
+    """The module swaps the reference's torch-lpips cut-offs for values
+    calibrated to the random-feature metric (qa/data/lpips_calib.json);
+    user-supplied thresholds are respected untouched."""
+    from srs_tpu.config import QualityAssessmentConfig, QualityThresholds
+    from srs_tpu.qa.module import QualityAssessmentModule
+
+    qa = QualityAssessmentModule()
+    t = qa.thresholds
+    assert 0 < t.lpips_excellent < t.lpips_good < t.lpips_acceptable
+    assert t.lpips_excellent != QualityThresholds().lpips_excellent
+
+    custom = QualityThresholds(lpips_excellent=0.3, lpips_good=0.4, lpips_acceptable=0.5)
+    qa2 = QualityAssessmentModule(QualityAssessmentConfig(thresholds=custom))
+    assert qa2.thresholds.lpips_excellent == 0.3
