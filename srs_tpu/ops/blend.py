@@ -660,6 +660,14 @@ def blend_finalize_banded(
         ))
 
     def bands_iter():
+        # Start every device->host copy up front: band b+1's transfer
+        # rides the link while band b is being written/consumed on host
+        # (np.asarray alone would serialize transfer with host work).
+        for hnd in handles:
+            try:
+                hnd.copy_to_host_async()
+            except Exception:
+                break
         remaining = out_h
         for hnd in handles:
             arr = np.asarray(hnd)

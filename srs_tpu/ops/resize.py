@@ -316,6 +316,13 @@ def resize_bicubic_banded(
         ))
 
     def bands_iter():
+        # Start every device->host copy up front so band b+1's transfer
+        # rides the link while band b is consumed on host.
+        for hnd in handles:
+            try:
+                hnd.copy_to_host_async()
+            except Exception:
+                break
         remaining = out_h
         for hnd in handles:
             arr = np.asarray(hnd)

@@ -212,6 +212,13 @@ def sharded_finalize_banded(
         handles.append(fin(lap0_ext, coarse_ext, jnp.asarray(starts_k), jnp.asarray(rh_k)))
 
     def bands_iter() -> Iterator[np.ndarray]:
+        # Start every device->host copy up front (per-shard transfers then
+        # overlap host-side consumption of earlier bands).
+        for hnd in handles:
+            try:
+                hnd.copy_to_host_async()
+            except Exception:
+                break
         for d in range(S):
             for k in range(sub):
                 take = min(sb, dev_out - k * sb, out_h - d * dev_out - k * sb)

@@ -791,11 +791,24 @@ class SuperResolutionPipeline:
                         compress=_compress,
                     ) as writer:
                         row0 = 0
-                        for band in save_bands:
+                        t_fetch = t_write = 0.0
+                        it = iter(save_bands)
+                        while True:
+                            ts = time.time()
+                            band = next(it, None)
+                            t_fetch += time.time() - ts
+                            if band is None:
+                                break
+                            ts = time.time()
                             writer.write(band)
+                            t_write += time.time() - ts
                             if want_fullres:
                                 self._sample_fullres_crops(band, row0, th, fullres_crops)
                             row0 += band.shape[0]
+                        logger.info(
+                            "save breakdown: fetch %.2fs, write %.2fs",
+                            t_fetch, t_write,
+                        )
                     streamed = True
                 except (ImportError, OSError):
                     # The generator may be partially consumed (a band was
@@ -813,7 +826,9 @@ class SuperResolutionPipeline:
                     fused_np = (fused_np // 257).astype(np.uint8)
                 save_image(output_path, fused_np)
             if want_fullres and fullres_crops:
+                t_nr = time.time()
                 quality_report.update(self._fullres_noref(fullres_crops))
+                logger.info("save breakdown: fullres NR panel %.2fs", time.time() - t_nr)
             if quality_report:
                 report_path = output_path.rsplit(".", 1)[0] + "_qa_report.json"
                 with open(report_path, "w", encoding="utf-8") as f:
