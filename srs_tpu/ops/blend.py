@@ -597,6 +597,7 @@ def blend_finalize_banded(
     crop_w: Optional[int] = None,
     to_uint8: bool = False,
     as_iterator: bool = False,
+    as_device: bool = False,
 ):
     """Final pyramid collapse + exact-size resize + quantize, banded.
 
@@ -658,6 +659,11 @@ def blend_finalize_banded(
             out_w,
             to_uint8,
         ))
+
+    if as_device:
+        # Keep the result on device (e.g. the QA stage consumes it as a
+        # jnp array — no host round-trip for an input-size proxy).
+        return jnp.concatenate(handles, axis=0)[:out_h]
 
     def bands_iter():
         # Start every device->host copy up front: band b+1's transfer

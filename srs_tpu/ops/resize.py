@@ -268,6 +268,7 @@ def resize_bicubic_banded(
     crop_w: Optional[int] = None,
     to_uint8: bool = False,
     as_iterator: bool = False,
+    as_device: bool = False,
 ):
     """Print-grade resize: (H, W, C) -> host np array (out_h, out_w, C).
 
@@ -314,6 +315,9 @@ def resize_bicubic_banded(
             out_w,
             to_uint8,
         ))
+
+    if as_device:
+        return jnp.concatenate(handles, axis=0)[:out_h]
 
     def bands_iter():
         # Start every device->host copy up front so band b+1's transfer

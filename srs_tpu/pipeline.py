@@ -584,7 +584,10 @@ class SuperResolutionPipeline:
             scale_total = max(tw / w, th / h)
             ladder = _scale_ladder(scale_total, trained=self._trained_scales())
             net_scale = int(np.prod(ladder)) if ladder else 1
-            layout, tiles = self.tiling_module.split_to_batch(image)
+            # One h2d upload of the input: tiling pads/extracts from it and
+            # the QA stage reuses it as the device-resident reference.
+            image_dev = jnp.asarray(image, jnp.float32)
+            layout, tiles = self.tiling_module.split_to_batch(image_dev)
             image_hash = self.tiling_module.compute_image_hash(
                 input_path if isinstance(input_path, str) else image
             )
@@ -714,7 +717,7 @@ class SuperResolutionPipeline:
             deferred = isinstance(canvas, tuple)
             sharded = isinstance(canvas, ShardedCanvas)
 
-            def _banded_out(oh, ow, nbands, to_uint8, as_iterator=False):
+            def _banded_out(oh, ow, nbands, to_uint8, as_iterator=False, as_device=False):
                 if sharded:
                     # Each device collapses + resizes + quantizes its own
                     # output rows; the host streams bands per shard.
@@ -728,11 +731,11 @@ class SuperResolutionPipeline:
                     return blend_finalize_banded(
                         lap0, coarse, oh, ow, bands=nbands,
                         crop_h=crop_h, crop_w=crop_w, to_uint8=to_uint8,
-                        as_iterator=as_iterator,
+                        as_iterator=as_iterator, as_device=as_device,
                     )
                 return resize_bicubic_banded(
                     canvas, oh, ow, bands=nbands, crop_h=crop_h, crop_w=crop_w,
-                    to_uint8=to_uint8, as_iterator=as_iterator,
+                    to_uint8=to_uint8, as_iterator=as_iterator, as_device=as_device,
                 )
 
             crop_h = min(out_layout.padded_h, layout.image_h * net_scale)
@@ -744,8 +747,18 @@ class SuperResolutionPipeline:
             save_bands = _banded_out(th, tw, 8, quant, as_iterator=True)
 
             if self.quality_module is not None:
-                fused_small = np.clip(_banded_out(h, w, 2, False), 0, 255)
-                fr = self.quality_module.evaluate_full_reference(image, fused_small)
+                if sharded:
+                    fused_small = np.clip(_banded_out(h, w, 2, False), 0, 255)
+                    qa_ref = image
+                else:
+                    # Device-resident QA: the input-size proxy never leaves
+                    # HBM and the reference is the stage-1 upload — saves
+                    # a d2h fetch + two h2d re-uploads per image.
+                    fused_small = jnp.clip(
+                        _banded_out(h, w, 2, False, as_device=True), 0, 255
+                    )
+                    qa_ref = image_dev
+                fr = self.quality_module.evaluate_full_reference(qa_ref, fused_small)
                 nr = self.quality_module.evaluate_no_reference(fused_small)
                 quality_report = {**fr, **nr}
                 if roi_regions:

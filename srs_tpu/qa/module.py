@@ -97,7 +97,14 @@ class QualityAssessmentModule:
     @staticmethod
     def _preprocess(image: np.ndarray) -> jnp.ndarray:
         """Normalize to float32 [0, 255] HWC (reference: qa:197-210 maps
-        [0,1] floats to uint8; we keep float precision in the 255 domain)."""
+        [0,1] floats to uint8; we keep float precision in the 255 domain).
+        Device-resident jnp arrays pass through untouched (framework
+        convention is float [0, 255]) — no host round-trip."""
+        import jax
+
+        if isinstance(image, jax.Array) and not isinstance(image, np.ndarray):
+            img = image if image.ndim >= 3 else image[..., None]
+            return img.astype(jnp.float32)
         arr = np.asarray(image)
         if arr.ndim == 2:
             arr = arr[..., None]

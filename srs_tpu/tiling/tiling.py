@@ -165,6 +165,12 @@ class TilingModule:
 
     @staticmethod
     def _load_image(source: Union[str, np.ndarray]) -> np.ndarray:
+        import jax
+
+        if isinstance(source, jax.Array):
+            # Already device-resident (the pipeline uploads once and
+            # reuses it for tiling and QA) — no host round-trip.
+            return source.astype(jnp.float32)
         if isinstance(source, np.ndarray):
             return source.astype(np.float32)
         if Image is None:
