@@ -27,6 +27,9 @@ CONFIGS = [
     ("edsr_m", 2, 40000),
     ("edsr_m", 3, 40000),
     ("edsr_m", 4, 40000),
+    ("rcan", 2, 40000),
+    ("rcan", 3, 40000),
+    ("rcan", 4, 40000),
 ]
 
 CORPUS_N = 1536

@@ -28,6 +28,7 @@ def _cmd_process(args: argparse.Namespace) -> int:
         overlap_ratio=args.overlap,
         target_resolution=args.target,
         provider=args.provider,
+        quality_model=args.quality_model,
         blend_method=args.blend,
         enable_qa=not args.no_qa,
         ibp_steps=args.steps,
@@ -124,6 +125,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--blend", default="laplacian",
                     choices=["laplacian", "multi_band", "weighted", "feather",
                              "gradient_domain", "poisson"])
+    pp.add_argument("--quality-model", default="edsr_m",
+                    choices=["edsr_m", "edsr_l", "rcan", "espcn"],
+                    help="registry net for the quality tier")
     pp.add_argument("--steps", type=int, default=8, help="back-projection steps")
     pp.add_argument("--zssr-steps", type=int, default=150,
                     help="self-supervised fine-tune steps for --provider zssr")

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize_bicubic_up
 
-__all__ = ["ESPCN", "EDSR", "depth_to_space", "back_project"]
+__all__ = ["ESPCN", "EDSR", "RCAN", "depth_to_space", "back_project"]
 
 
 def depth_to_space(x: jax.Array, scale: int) -> jax.Array:
@@ -206,6 +206,84 @@ class EDSR(nn.Module):
                 dtype=self.dtype,
                 kernel_init=nn.initializers.zeros,
                 name="tail",
+            )(h)
+        return base + r.astype(jnp.float32) * 255.0
+
+
+class _CABlock(nn.Module):
+    """Residual channel-attention block (RCAN family): conv-relu-conv with
+    a squeeze-excite gate over channels. The global pool is a (1, 1, C)
+    tensor, so the two 1x1 convs are negligible FLOPs; the gate lets the
+    net re-weight feature maps per tile content (text vs texture vs flat),
+    which plain EDSR blocks cannot."""
+
+    features: int
+    reduction: int = 8
+    res_scale: float = 0.1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype)(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype)(h)
+        s = jnp.mean(h.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(self.dtype)
+        s = nn.Conv(self.features // self.reduction, (1, 1), dtype=self.dtype)(s)
+        s = nn.relu(s)
+        s = nn.Conv(self.features, (1, 1), dtype=self.dtype)(s)
+        s = nn.sigmoid(s)
+        return x + h * s * self.res_scale
+
+
+class RCAN(nn.Module):
+    """Channel-attention quality net (Zhang et al. 2018 RCAN family,
+    single-group variant) — the third on-device model family next to
+    ESPCN (fast) and EDSR (quality), standing in for the reference's
+    highest-quality remote tier (super_resolution_module.py:561-711).
+    Bicubic-residual with a zero-init tail like the others, so untrained
+    weights reproduce exact bicubic."""
+
+    scale: int = 2
+    features: int = 64
+    num_blocks: int = 10
+    reduction: int = 8
+    channels: int = 3
+    res_scale: float = 0.1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xn = (x.astype(jnp.float32) / 255.0 - 0.5).astype(self.dtype)
+        base = (
+            resize_bicubic_up(x.astype(jnp.float32), self.scale)
+            if self.scale > 1
+            else x.astype(jnp.float32)
+        )
+        h0 = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="head")(xn)
+        h = h0
+        for i in range(self.num_blocks):
+            h = _CABlock(
+                self.features, self.reduction, self.res_scale, self.dtype,
+                name=f"cab_{i}",
+            )(h)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="body_out")(h) + h0
+        if self.scale > 1:
+            factors = _shuffle_factors(self.scale)
+            for i, f in enumerate(factors[:-1]):
+                h = nn.Conv(
+                    self.features * f * f, (3, 3), dtype=self.dtype, name=f"up_conv_{i}"
+                )(h)
+                h = depth_to_space(h, f)
+            f = factors[-1]
+            r = nn.Conv(
+                self.channels * f * f, (3, 3), dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, name="tail",
+            )(h)
+            r = depth_to_space(r, f)
+        else:
+            r = nn.Conv(
+                self.channels, (3, 3), dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, name="tail",
             )(h)
         return base + r.astype(jnp.float32) * 255.0
 

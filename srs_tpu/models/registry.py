@@ -17,7 +17,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .nets import EDSR, ESPCN
+from .nets import EDSR, ESPCN, RCAN
 
 __all__ = ["ModelSpec", "MODEL_REGISTRY", "build_model", "clear_param_cache"]
 
@@ -42,6 +42,10 @@ MODEL_REGISTRY: Dict[str, ModelSpec] = {
     ),
     "edsr_l": ModelSpec(
         "edsr_l", EDSR, {"num_blocks": 16, "features": 96}, "large quality net"
+    ),
+    "rcan": ModelSpec(
+        "rcan", RCAN, {"num_blocks": 10},
+        "channel-attention quality net (highest-quality tier)",
     ),
 }
 

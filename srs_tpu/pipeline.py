@@ -66,6 +66,8 @@ class PipelineConfig:
     enable_qa: bool = True
     qa_device: str = "tpu"
     provider: str = "quality"  # quality | fast | hybrid | bicubic | zssr
+    quality_model: str = "edsr_m"  # registry net for the quality tier (e.g. rcan)
+    fast_model: str = "espcn"  # registry net for the fast tier
     zssr_steps: int = 150  # self-supervised finetune steps for provider=zssr
     ibp_steps: int = 8  # back-projection refinement steps on the tile batch
     content_aware: bool = False  # seam placement avoids faces/text/saliency
@@ -173,7 +175,15 @@ class SuperResolutionPipeline:
 
     def _ensure_engine(self) -> None:
         if self.sr_module is None:
-            self.sr_module = SuperResolutionModule()
+            from dataclasses import replace as _dc_replace
+
+            from .config import ModelConfig
+
+            self.sr_module = SuperResolutionModule(config=_dc_replace(
+                ModelConfig(),
+                quality_model=self.config.quality_model,
+                fast_model=self.config.fast_model,
+            ))
         if getattr(self, "dispatcher", None) is None:
             self.dispatcher = None
             if self.config.mesh_shape:

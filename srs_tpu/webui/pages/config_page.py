@@ -50,17 +50,24 @@ def render() -> None:
     set_state("max_tiles", max_tiles)
 
     st.subheader("Model")
+    providers = ["quality", "fast", "hybrid", "bicubic", "zssr"]
     model = st.selectbox(
-        "Provider", ["quality", "fast", "hybrid", "bicubic"],
-        index=["quality", "fast", "hybrid", "bicubic"].index(get_state("model_version", "quality")),
+        "Provider", providers,
+        index=providers.index(get_state("model_version", "quality")),
+    )
+    nets = ["edsr_m", "edsr_l", "rcan", "espcn"]
+    qnet = st.selectbox(
+        "Quality net", nets,
+        index=nets.index(get_state("quality_model", "edsr_m")),
     )
     fusion = st.selectbox(
         "Fusion algorithm",
-        ["laplacian", "weighted", "feather", "gradient_domain"],
+        ["laplacian", "multi_band", "weighted", "feather", "gradient_domain", "poisson"],
         index=0,
     )
     category = st.selectbox("Industry template", PromptTemplateManager.list_categories())
     set_state("model_version", model)
+    set_state("quality_model", qnet)
     set_state("fusion_algorithm", fusion)
     set_state("prompt_category", category)
 

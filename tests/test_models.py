@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from srs_tpu.models.nets import EDSR, ESPCN, back_project, depth_to_space
+from srs_tpu.models.nets import EDSR, ESPCN, RCAN, back_project, depth_to_space
 from srs_tpu.models.prompts import PromptTemplateManager, category_id
 from srs_tpu.models.registry import MODEL_REGISTRY, build_model
 from srs_tpu.models.sr_module import (
@@ -37,7 +37,7 @@ def test_depth_to_space():
     assert y.shape == (1, 2, 2, 3)
 
 
-@pytest.mark.parametrize("net_cls", [ESPCN, EDSR])
+@pytest.mark.parametrize("net_cls", [ESPCN, EDSR, RCAN])
 def test_nets_equal_bicubic_at_init(img64, net_cls):
     model = net_cls(scale=2)
     x = jnp.asarray(img64)[None]

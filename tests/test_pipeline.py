@@ -439,3 +439,13 @@ def test_fullres_noref_panel(input_png, tmp_path):
     # and it lands in the saved JSON report too
     saved = json.loads(open(out.rsplit(".", 1)[0] + "_qa_report.json").read())
     assert "fullres_niqe" in saved
+
+
+def test_quality_model_selectable(input_png, tmp_path):
+    """PipelineConfig.quality_model routes the quality tier to a different
+    registry net (here rcan — untrained falls back to the bicubic floor)."""
+    out = str(tmp_path / "rcan.png")
+    pipe = SuperResolutionPipeline(_cfg(quality_model="rcan", enable_qa=False))
+    result = pipe.process(input_png, out)
+    assert result.success, result.error_message
+    assert pipe.sr_module.config.quality_model == "rcan"
