@@ -30,6 +30,8 @@ CONFIGS = [
     ("rcan", 2, 40000),
     ("rcan", 3, 40000),
     ("rcan", 4, 40000),
+    ("edsr_l", 2, 40000),
+    ("edsr_l", 3, 40000),
 ]
 
 CORPUS_N = 1536

@@ -1,4 +1,4 @@
-from .nets import EDSR, ESPCN, back_project, depth_to_space
+from .nets import EDSR, ESPCN, RCAN, back_project, depth_to_space
 from .prompts import PromptTemplateManager
 from .registry import MODEL_REGISTRY, build_model
 from .sr_module import (
@@ -12,6 +12,7 @@ from .sr_module import (
 __all__ = [
     "EDSR",
     "ESPCN",
+    "RCAN",
     "back_project",
     "depth_to_space",
     "PromptTemplateManager",
