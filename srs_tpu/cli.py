@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -100,10 +101,25 @@ def _cmd_info(args: argparse.Namespace) -> int:
     from . import __version__
     from .config import SystemConfig
 
+    from .models.registry import MODEL_REGISTRY, PACKAGED_CHECKPOINT_DIR
+
+    models = {}
+    for name, spec in MODEL_REGISTRY.items():
+        trained = sorted(
+            int(d.rsplit("_x", 1)[1])
+            for d in os.listdir(PACKAGED_CHECKPOINT_DIR)
+            if os.path.isdir(os.path.join(PACKAGED_CHECKPOINT_DIR, d))
+            and d.rsplit("_x", 1)[0] == name and d.rsplit("_x", 1)[1].isdigit()
+        ) if os.path.isdir(PACKAGED_CHECKPOINT_DIR) else []
+        models[name] = {
+            "description": spec.description,
+            "trained_scales": trained or "untrained (bicubic floor + IBP)",
+        }
     info = {
         "version": __version__,
         "backend": jax.default_backend(),
         "devices": [str(d) for d in jax.devices()],
+        "models": models,
         "config": SystemConfig.from_env().to_dict() if args.config else "use --config",
     }
     print(json.dumps(info, indent=2, default=str))
