@@ -511,15 +511,37 @@ class SuperResolutionPipeline:
         measures); this panel scores the actual print-resolution pixels
         (reference's no-reference path: quality_assessment_module.py:721-812)."""
         assert self.quality_module is not None
+        from .qa import noref as _N
+        from .qa.niqe import brisque_scores, niqe_scores
+
         acc: Dict[str, List[float]] = {}
+        # Group equal-shape crops and score each group in ONE batched
+        # device program per metric family (a per-crop loop costs ~5
+        # round-trips per crop over a tunneled link).
+        by_shape: Dict[Tuple[int, ...], List[np.ndarray]] = {}
         for c in crops:
             arr = c.astype(np.float32)
             if c.dtype == np.uint16:
                 arr = arr / 257.0
-            nr = self.quality_module.evaluate_no_reference(arr)
-            for k in ("niqe", "brisque", "sharpness", "contrast"):
-                if k in nr:
-                    acc.setdefault(k, []).append(float(nr[k]))
+            by_shape.setdefault(arr.shape, []).append(arr)
+        for group in by_shape.values():
+            batch = jnp.asarray(np.stack(group))
+            raw = jax.vmap(_N.no_reference_metrics)(batch)
+            sharp = np.asarray(raw["sharpness"], np.float64)
+            contrast = np.asarray(raw["contrast"], np.float64)
+            niqe_cf = np.asarray(raw["niqe"], np.float64)
+            brisque_cf = np.asarray(raw["brisque"], np.float64)
+            nq = niqe_scores(batch)
+            bq = brisque_scores(batch)
+            for i in range(len(group)):
+                acc.setdefault("niqe", []).append(
+                    float(nq[i]) if nq[i] is not None else float(niqe_cf[i])
+                )
+                acc.setdefault("brisque", []).append(
+                    float(bq[i]) if bq[i] is not None else float(brisque_cf[i])
+                )
+                acc.setdefault("sharpness", []).append(float(sharp[i]))
+                acc.setdefault("contrast", []).append(float(contrast[i]))
         out: Dict[str, Any] = {f"fullres_{k}": float(np.mean(v)) for k, v in acc.items()}
         out["fullres_crops"] = len(crops)
         return out

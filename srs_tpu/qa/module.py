@@ -196,24 +196,27 @@ class QualityAssessmentModule:
         t = self.thresholds
         a = self._preprocess(original)
         b = self._preprocess(upscaled)
-        metrics: Dict[str, Any] = {}
-
-        for k, v in M.downsample_comparison(a, b).items():
-            metrics[k] = _f(v)
-
+        # All metric programs dispatch asynchronously; scalars are fetched
+        # in ONE stacked device->host copy (a per-scalar float() costs a
+        # full round-trip each over a tunneled TPU link).
+        vals: Dict[str, Any] = dict(M.downsample_comparison(a, b))
         am, bm = self._match_size(a, b)
-        metrics["psnr"] = _f(M.psnr(am, bm))
+        vals["psnr"] = M.psnr(am, bm)
+        vals["ssim"] = M.ssim(am, bm)
+        vals["ms_ssim"] = M.ms_ssim(am, bm)
+        if self._lpips is not None:
+            vals["lpips_vgg"] = self._lpips(am, bm, net="vgg")
+            vals["lpips_alex"] = self._lpips(am, bm, net="alex")
+        keys = list(vals)
+        fetched = np.asarray(jnp.stack([jnp.asarray(vals[k], jnp.float32) for k in keys]))
+        metrics: Dict[str, Any] = {k: float(v) for k, v in zip(keys, fetched)}
         metrics["psnr_level"] = self._level(
             metrics["psnr"], t.psnr_excellent, t.psnr_good, t.psnr_acceptable
         )
-        metrics["ssim"] = _f(M.ssim(am, bm))
-        metrics["ms_ssim"] = _f(M.ms_ssim(am, bm))
         metrics["ssim_level"] = self._level(
             metrics["ms_ssim"], t.ssim_excellent, t.ssim_good, t.ssim_acceptable
         )
         if self._lpips is not None:
-            metrics["lpips_vgg"] = _f(self._lpips(am, bm, net="vgg"))
-            metrics["lpips_alex"] = _f(self._lpips(am, bm, net="alex"))
             metrics["lpips_level"] = self._level(
                 metrics["lpips_vgg"],
                 t.lpips_excellent,
@@ -245,7 +248,9 @@ class QualityAssessmentModule:
         t = self.thresholds
         img = self._preprocess(image)
         raw = N.no_reference_metrics(img)
-        metrics = {k: _f(v) for k, v in raw.items()}
+        keys = list(raw)
+        fetched = np.asarray(jnp.stack([jnp.asarray(raw[k], jnp.float32) for k in keys]))
+        metrics = {k: float(v) for k, v in zip(keys, fetched)}  # one fetch
         v = niqe_score(img)
         if v is not None:
             metrics["niqe"] = float(v)

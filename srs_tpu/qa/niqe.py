@@ -40,8 +40,10 @@ from .noref import _gray, mscn
 __all__ = [
     "niqe_features",
     "niqe_score",
+    "niqe_scores",
     "brisque_features",
     "brisque_score",
+    "brisque_scores",
     "fit_pristine_model",
     "DATA_DIR",
 ]
@@ -194,6 +196,72 @@ def _load_pristine() -> Optional[Tuple[np.ndarray, np.ndarray]]:
         return None
     z = np.load(path)
     return z["mu"], z["cov"]
+
+
+def _mahalanobis_score(f: np.ndarray, mu_p: np.ndarray, cov_p: np.ndarray) -> Optional[float]:
+    f = f[np.all(np.isfinite(f), axis=1)]
+    if f.shape[0] == 0:
+        return None
+    mu_t = f.mean(axis=0)
+    cov_t = np.cov(f, rowvar=False) if f.shape[0] > 1 else np.zeros_like(cov_p)
+    d = mu_p - mu_t
+    s = (cov_p + cov_t) / 2.0 + 1e-8 * np.eye(len(mu_p))
+    try:
+        return float(np.sqrt(max(d @ np.linalg.solve(s, d), 0.0)))
+    except np.linalg.LinAlgError:
+        return None
+
+
+def niqe_scores(images: jax.Array, patch: int = 96, select: float = 0.75):
+    """Batched NIQE over [N, H, W, C]: features for every patch of every
+    image in ONE vmapped device program (a per-image loop costs a device
+    round-trip per dispatch — significant over a tunneled link), then
+    per-image selection + Mahalanobis on host. Returns list of
+    Optional[float]."""
+    model = _load_pristine()
+    if model is None:
+        return [None] * int(images.shape[0])
+    mu_p, cov_p = model
+    n = int(images.shape[0])
+    g = jax.vmap(lambda im: _gray(im).astype(jnp.float32))(images)
+    h, w = g.shape[-2], g.shape[-1]
+    ph, pw = h // patch, w // patch
+    if ph == 0 or pw == 0:
+        feats = np.asarray(jax.vmap(_image_features36)(g), np.float64)
+        return [_mahalanobis_score(feats[i : i + 1], mu_p, cov_p) for i in range(n)]
+    g = g[:, : ph * patch, : pw * patch]
+    patches = g.reshape(n, ph, patch, pw, patch).transpose(0, 1, 3, 2, 4).reshape(
+        n * ph * pw, patch, patch
+    )
+    feats = jax.vmap(_image_features36)(patches)
+    sharp = jax.vmap(lambda p: jnp.mean(_sigma_field(p)))(patches)
+    feats_np = np.asarray(feats, np.float64).reshape(n, ph * pw, 36)
+    sharp_np = np.asarray(sharp).reshape(n, ph * pw)
+    out = []
+    for i in range(n):
+        keep = sharp_np[i] >= select * float(sharp_np[i].max())
+        f = feats_np[i][keep] if keep.any() and select > 0 else feats_np[i]
+        out.append(_mahalanobis_score(f, mu_p, cov_p))
+    return out
+
+
+def brisque_scores(images: jax.Array):
+    """Batched BRISQUE over [N, H, W, C]: one vmapped feature program,
+    regressor on host. Returns list of Optional[float]."""
+    model = _load_brisque()
+    if model is None:
+        return [None] * int(images.shape[0])
+    w, b, mu, sd = model
+    g = jax.vmap(lambda im: _gray(im).astype(jnp.float32))(images)
+    feats = np.asarray(jax.vmap(_image_features36)(g), np.float64)
+    out = []
+    for f in feats:
+        if not np.all(np.isfinite(f)):
+            out.append(None)
+            continue
+        z = brisque_expand((f - mu) / sd)
+        out.append(float(np.clip(z @ w + b, 0.0, 100.0)))
+    return out
 
 
 def niqe_score(image: jax.Array, patch: int = 96) -> Optional[float]:

@@ -254,3 +254,23 @@ def test_lpips_thresholds_calibrated():
     custom = QualityThresholds(lpips_excellent=0.3, lpips_good=0.4, lpips_acceptable=0.5)
     qa2 = QualityAssessmentModule(QualityAssessmentConfig(thresholds=custom))
     assert qa2.thresholds.lpips_excellent == 0.3
+
+
+def test_batched_nr_scores_match_single():
+    """niqe_scores/brisque_scores (one device program for N images) must
+    agree with the per-image scorers."""
+    from srs_tpu.models.corpus import render_natural
+    from srs_tpu.qa.niqe import (
+        brisque_score,
+        brisque_scores,
+        niqe_score,
+        niqe_scores,
+    )
+
+    imgs = np.stack([render_natural(920_000 + i, 192) for i in range(3)])
+    batch = jnp.asarray(imgs)
+    nq = niqe_scores(batch)
+    bq = brisque_scores(batch)
+    for i in range(3):
+        assert abs(nq[i] - niqe_score(jnp.asarray(imgs[i]))) < 1e-3
+        assert abs(bq[i] - brisque_score(jnp.asarray(imgs[i]))) < 1e-3
