@@ -54,6 +54,7 @@ def main() -> None:
         overlap_ratio=0.2,
         target_resolution="100MP",
         provider=os.environ.get("SRS_BENCH_PROVIDER", "quality"),
+        quality_model=os.environ.get("SRS_BENCH_QMODEL", "edsr_l"),
         ibp_steps=int(os.environ.get("SRS_BENCH_IBP", "4")),
         enable_qa=os.environ.get("SRS_BENCH_QA", "1") == "1",
     )
@@ -101,6 +102,7 @@ def main() -> None:
         "stage_times": {k: round(v, 2) for k, v in r.stage_times.items()},
         "quality_score": r.quality_score,
         "provider": cfg.provider,
+        "quality_model": cfg.quality_model,
         "d2h_link_MBps": round(link_mbps, 1),
     }
     # Full-resolution no-reference panel: the downsample-consistency score

@@ -56,6 +56,7 @@ def main() -> None:
         ("fast", {}),
         ("quality", {}),
         ("quality", {"quality_model": "rcan"}),
+        ("quality", {"quality_model": "edsr_l"}),
         ("zssr", {"zssr_steps": 100}),
     ]
     out_rows = []

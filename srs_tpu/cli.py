@@ -141,7 +141,7 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--blend", default="laplacian",
                     choices=["laplacian", "multi_band", "weighted", "feather",
                              "gradient_domain", "poisson"])
-    pp.add_argument("--quality-model", default="edsr_m",
+    pp.add_argument("--quality-model", default="edsr_l",
                     choices=["edsr_m", "edsr_l", "rcan", "espcn"],
                     help="registry net for the quality tier")
     pp.add_argument("--steps", type=int, default=8, help="back-projection steps")

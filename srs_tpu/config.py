@@ -40,7 +40,7 @@ class ModelConfig:
     """
 
     default_provider: str = "hybrid"  # quality | fast | hybrid | bicubic
-    quality_model: str = "edsr_m"  # registry key for the quality net
+    quality_model: str = "edsr_l"  # registry key for the quality net
     fast_model: str = "espcn"  # registry key for the fast net
     compute_dtype: str = "bfloat16"  # MXU-friendly; accumulation in f32
     params_dtype: str = "float32"

@@ -66,7 +66,7 @@ class PipelineConfig:
     enable_qa: bool = True
     qa_device: str = "tpu"
     provider: str = "quality"  # quality | fast | hybrid | bicubic | zssr
-    quality_model: str = "edsr_m"  # registry net for the quality tier (e.g. rcan)
+    quality_model: str = "edsr_l"  # registry net for the quality tier (e.g. rcan)
     fast_model: str = "espcn"  # registry net for the fast tier
     zssr_steps: int = 150  # self-supervised finetune steps for provider=zssr
     ibp_steps: int = 8  # back-projection refinement steps on the tile batch

@@ -58,7 +58,7 @@ def render() -> None:
     nets = ["edsr_m", "edsr_l", "rcan", "espcn"]
     qnet = st.selectbox(
         "Quality net", nets,
-        index=nets.index(get_state("quality_model", "edsr_m")),
+        index=nets.index(get_state("quality_model", "edsr_l")),
     )
     fusion = st.selectbox(
         "Fusion algorithm",

@@ -40,7 +40,7 @@ def _run_pipeline(image, cfg_state: dict) -> None:
             overlap_ratio=cfg_state["overlap_ratio"],
             target_resolution=cfg_state["target_resolution"],
             provider=cfg_state["model_version"],
-            quality_model=cfg_state.get("quality_model", "edsr_m"),
+            quality_model=cfg_state.get("quality_model", "edsr_l"),
             blend_method=cfg_state["fusion_algorithm"],
         )
         pipe = SuperResolutionPipeline(cfg)
