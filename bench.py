@@ -56,6 +56,7 @@ def main() -> None:
         provider=os.environ.get("SRS_BENCH_PROVIDER", "quality"),
         quality_model=os.environ.get("SRS_BENCH_QMODEL", "edsr_l"),
         ibp_steps=int(os.environ.get("SRS_BENCH_IBP", "4")),
+        bit_depth=int(os.environ.get("SRS_BENCH_BITDEPTH", "8")),
         enable_qa=os.environ.get("SRS_BENCH_QA", "1") == "1",
     )
     pipe = SuperResolutionPipeline(cfg)

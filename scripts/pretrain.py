@@ -18,8 +18,8 @@ from srs_tpu.models.registry import MODEL_REGISTRY  # noqa: E402
 from srs_tpu.models.train import eval_on_holdout, train_synthetic  # noqa: E402
 
 CONFIGS = [
-    # (model, scale, steps). ~35 ms/step on the tunneled v5e chip; the
-    # held-out panel keeps improving past 20k steps (EDSR most of all).
+    # (model, scale, steps[, degradation]). ~35 ms/step on the tunneled
+    # v5e chip; the held-out panel keeps improving past 20k steps.
     # Select a subset with: python scripts/pretrain.py --only espcn_x4,edsr_m_x4
     ("espcn", 2, 30000),
     ("espcn", 3, 30000),
@@ -32,6 +32,8 @@ CONFIGS = [
     ("rcan", 4, 40000),
     ("edsr_l", 2, 40000),
     ("edsr_l", 3, 40000),
+    ("edsr_l_robust", 2, 40000, "robust"),
+    ("edsr_l_robust", 3, 40000, "robust"),
 ]
 
 CORPUS_N = 1536
@@ -74,12 +76,14 @@ def main() -> None:
         with open(panel_path) as f:
             panel = json.load(f)
     configs = [c for c in CONFIGS if only is None or f"{c[0]}_x{c[1]}" in only]
-    for name, scale, steps in configs:
+    for cfg_row in configs:
+        name, scale, steps = cfg_row[:3]
+        degradation = cfg_row[3] if len(cfg_row) > 3 else "area"
         t0 = time.time()
         params, loss = train_synthetic(
             name, scale, steps=steps, corpus_n=CORPUS_N, corpus_size=CORPUS_SIZE,
             patch=48, batch=32, lr=2e-4, checkpoint_dir=out_dir,
-            scan_chunk=50, corpus=corpus,
+            scan_chunk=50, corpus=corpus, degradation=degradation,
             log_fn=lambda s, l, n=name, sc=scale: print(
                 f"[{n}_x{sc}] step {s}: loss {l:.5f}", flush=True)
             if s % 1000 == 0 else None,
@@ -89,8 +93,17 @@ def main() -> None:
         kwargs.setdefault("scale", scale)
         module = spec.ctor(**kwargs)
         stats = eval_on_holdout(module, params, scale, n=12, size=256)
+        if degradation != "area":
+            # also score on the matching degraded holdout (the robust
+            # net's home turf) alongside the clean panel
+            stats_deg = eval_on_holdout(
+                module, params, scale, n=12, size=256, degradation=degradation
+            )
+            stats["psnr_net_degraded"] = stats_deg["psnr_net"]
+            stats["psnr_bicubic_degraded"] = stats_deg["psnr_bicubic"]
         stats["final_loss"] = loss
         stats["train_seconds"] = time.time() - t0
+        stats["degradation"] = degradation
         panel[f"{name}_x{scale}"] = stats
         print(f"[{name}_x{scale}] {json.dumps(stats)}", flush=True)
     with open(os.path.join(out_dir, "EVAL.json"), "w") as f:

@@ -47,6 +47,11 @@ MODEL_REGISTRY: Dict[str, ModelSpec] = {
         "rcan", RCAN, {"num_blocks": 10},
         "channel-attention quality net (highest-quality tier)",
     ),
+    "edsr_l_robust": ModelSpec(
+        "edsr_l_robust", EDSR, {"num_blocks": 16, "features": 96},
+        "degradation-robust large quality net (random blur/noise training "
+        "ladder; for noisy/soft/compressed inputs)",
+    ),
 }
 
 # (name, scale, pretrained) -> (module, params)

@@ -452,18 +452,31 @@ class SuperResolutionModule:
         steps: int = 150,
         patch: int = 48,
         batch: int = 8,
-        lr: float = 5e-4,
+        lr: Optional[float] = None,
     ) -> None:
-        """Fine-tune the fast net on the input image itself (ZSSR,
-        Shocher et al. 2018): downscale-degrade the image for LR/HR pairs
-        so the net learns this image's internal statistics, then serve the
-        tuned params for subsequent ``provider='zssr'`` upscales."""
+        """Fine-tune a net on the input image itself (ZSSR, Shocher et al.
+        2018): downscale-degrade the image for LR/HR pairs so the net
+        learns this image's internal statistics, then serve the tuned
+        params for subsequent ``provider='zssr'`` upscales.
+
+        Starts from the *quality* net's packaged corpus prior when it is
+        trained (generic detail prior + per-image adaptation beats either
+        alone; fine-tuned gently at 1e-4), else from the fast net at the
+        classic from-scratch 5e-4."""
+        from .registry import is_pretrained
         from .train import zssr_finetune
 
         arr, _, had_batch = self._to_batch(image)
         img = np.asarray(arr[0] if not had_batch else arr[0])
+        base = (
+            self.config.quality_model
+            if is_pretrained(self.config.quality_model, scale)
+            else self.config.fast_model
+        )
+        if lr is None:
+            lr = 1e-4 if is_pretrained(base, scale) else 5e-4
         module, params = build_model(
-            self.config.fast_model, scale, self.config.checkpoint_dir,
+            base, scale, self.config.checkpoint_dir,
             dtype=jnp.dtype(self.config.compute_dtype),
         )
         tuned = zssr_finetune(

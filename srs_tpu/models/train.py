@@ -50,7 +50,24 @@ def downsample_area(x: jax.Array, s: int) -> jax.Array:
     return x.mean(axis=(-2, -4))
 
 
-def degrade(hr: jax.Array, patch: int, scale: int, method: str = "area") -> jax.Array:
+def _sep_blur7(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Separable 7-tap blur with *traced* weights (sigma can be random
+    per training step inside jit; static-kernel gaussian_blur cannot)."""
+    pad = 3
+    h, wd = x.shape[-3], x.shape[-2]
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="reflect")
+    x = sum(w[i] * jax.lax.slice_in_dim(xp, i, i + h, axis=-3) for i in range(7))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    return sum(w[i] * jax.lax.slice_in_dim(xp, i, i + wd, axis=-2) for i in range(7))
+
+
+def degrade(
+    hr: jax.Array,
+    patch: int,
+    scale: int,
+    method: str = "area",
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
     """HR -> LR degradation for training pairs.
 
     ``area`` (default) is the antialiased box filter — the SR-literature-
@@ -61,7 +78,24 @@ def degrade(hr: jax.Array, patch: int, scale: int, method: str = "area") -> jax.
     over bicubic upsampling on the procedural corpus is +0.16 dB aliased
     vs +0.54 dB antialiased, so nets trained on the aliased pair plateau
     at the bicubic floor.
+
+    ``robust`` models real capture/compression damage (the lightweight
+    real-ESRGAN-style ladder): random gaussian pre-blur (sigma 0.2-1.8)
+    + area downsample + random gaussian noise (sigma 0-8) per step.
+    Requires ``key``. Nets trained on it trade a little clean-input PSNR
+    for large gains on noisy/soft inputs.
     """
+    if method == "robust":
+        assert key is not None, "robust degradation needs a PRNG key"
+        kb, kn = jax.random.split(key)
+        sigma = jax.random.uniform(kb, (), minval=0.2, maxval=1.8)
+        xs = jnp.arange(-3, 4, dtype=jnp.float32)
+        w = jnp.exp(-0.5 * (xs / sigma) ** 2)
+        w = w / w.sum()
+        lr_img = downsample_area(_sep_blur7(hr, w), scale)
+        nsigma = jax.random.uniform(kn, (), minval=0.0, maxval=8.0)
+        noise = jax.random.normal(jax.random.fold_in(kn, 1), lr_img.shape) * nsigma
+        return jnp.clip(lr_img + noise, 0.0, 255.0)
     if method == "area" and hr.shape[-3] == patch * scale:
         return downsample_area(hr, scale)
     return resize_bicubic(hr, patch, patch)
@@ -127,7 +161,8 @@ def sample_patches(
     ys = rng.integers(0, h - hp + 1, num)
     xs = rng.integers(0, w - hp + 1, num)
     hr = np.stack([hr_image[y : y + hp, x : x + hp] for y, x in zip(ys, xs)]).astype(np.float32)
-    lr = np.asarray(degrade(jnp.asarray(hr), patch, scale, degradation))
+    key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+    lr = np.asarray(degrade(jnp.asarray(hr), patch, scale, degradation, key=key))
     return lr, hr
 
 
@@ -232,7 +267,7 @@ def train_synthetic(
         # a multi-hundred-MB constant blows up the compile payload (this
         # image's TPU compiles go through an HTTP helper with a size cap).
         params, opt_state, corpus_d = carry
-        ki, ky, kx, kf = jax.random.split(key, 4)
+        ki, ky, kx, kf, kd = jax.random.split(key, 5)
         idx = jax.random.randint(ki, (batch,), 0, n_img)
         ys = jax.random.randint(ky, (batch,), 0, ch - hp + 1)
         xs = jax.random.randint(kx, (batch,), 0, cw - hp + 1)
@@ -248,7 +283,7 @@ def train_synthetic(
         hr = jnp.where(
             flips[2][:, None, None, None], jnp.transpose(hr, (0, 2, 1, 3)), hr
         )
-        lr_b = degrade(hr, patch, scale, degradation)
+        lr_b = degrade(hr, patch, scale, degradation, key=kd)
 
         def loss_fn(p):
             return charbonnier_loss(module.apply(p, lr_b), hr)
@@ -302,7 +337,7 @@ def eval_on_holdout(
     hr = jnp.asarray(make_corpus(n, size, seed))
     lh = size // scale
     hr = hr[:, : lh * scale, : lh * scale]  # crop to a scale multiple
-    lr_b = degrade(hr, lh, scale, degradation)
+    lr_b = degrade(hr, lh, scale, degradation, key=jax.random.PRNGKey(7))
 
     def psnr(pred):
         mse = jnp.mean((pred - hr) ** 2, axis=(1, 2, 3))

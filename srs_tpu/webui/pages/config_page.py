@@ -55,7 +55,7 @@ def render() -> None:
         "Provider", providers,
         index=providers.index(get_state("model_version", "quality")),
     )
-    nets = ["edsr_m", "edsr_l", "rcan", "espcn"]
+    nets = ["edsr_m", "edsr_l", "edsr_l_robust", "rcan", "espcn"]
     qnet = st.selectbox(
         "Quality net", nets,
         index=nets.index(get_state("quality_model", "edsr_l")),

@@ -249,3 +249,23 @@ def test_packaged_checkpoints_beat_bicubic():
             assert stats["psnr_net"] >= floor + 0.5, (name, stats)
     finally:
         clear_param_cache()
+
+
+def test_robust_degradation_properties():
+    """'robust' HR->LR: blur+noise, bounded [0,255], key-deterministic,
+    and differs from the clean area downsample."""
+    import jax
+
+    from srs_tpu.models.train import degrade
+
+    hr = jnp.asarray(
+        (np.random.default_rng(3).random((2, 64, 64, 3)) * 255).astype(np.float32)
+    )
+    k = jax.random.PRNGKey(5)
+    a = degrade(hr, 32, 2, "robust", key=k)
+    b = degrade(hr, 32, 2, "robust", key=k)
+    clean = degrade(hr, 32, 2, "area")
+    assert a.shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # same key
+    assert float(jnp.max(jnp.abs(a - clean))) > 1.0  # actually degraded
+    assert 0.0 <= float(a.min()) and float(a.max()) <= 255.0
