@@ -269,3 +269,19 @@ def test_robust_degradation_properties():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # same key
     assert float(jnp.max(jnp.abs(a - clean))) > 1.0  # actually degraded
     assert 0.0 <= float(a.min()) and float(a.max()) <= 255.0
+
+
+def test_robust_checkpoint_wins_on_degraded_inputs():
+    """edsr_l_robust's packaged weights must beat bicubic by a wide margin
+    on blur+noise-degraded holdout inputs (its training regime)."""
+    from srs_tpu.models.registry import build_model, clear_param_cache, is_pretrained
+    from srs_tpu.models.train import eval_on_holdout
+
+    clear_param_cache()
+    try:
+        m, p = build_model("edsr_l_robust", 2)
+        assert is_pretrained("edsr_l_robust", 2), "packaged robust weights missing"
+        stats = eval_on_holdout(m, p, 2, n=3, size=192, degradation="robust")
+        assert stats["psnr_net"] >= stats["psnr_bicubic"] + 2.0, stats
+    finally:
+        clear_param_cache()
