@@ -29,7 +29,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pyr_down_pallas", "pyr_down_fused", "decimation_matrix"]
+__all__ = [
+    "pyr_down_pallas",
+    "pyr_down_fused",
+    "decimation_matrix",
+    "pyr_up_pallas",
+    "pyr_up_fused",
+    "interpolation_matrix",
+]
 
 _G = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
@@ -84,6 +91,76 @@ def pyr_down_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
         ),
         interpret=interpret,
     )(x.astype(jnp.float32), dv, dw)
+
+
+@lru_cache(maxsize=32)
+def interpolation_matrix(m: int, n: int) -> np.ndarray:
+    """[n, m] pyrUp matrix for one axis: zero-interleave x into a length-n
+    grid (z[2j] = x[j]), blur with the doubled 5-tap binomial, REFLECT_101
+    over the interleaved grid — cv2 pyrUp semantics incl. odd n."""
+    u = np.zeros((n, m), np.float32)
+    for i in range(n):
+        for k, g in enumerate(_G):
+            # reflect over the FULL zero-stuffed length 2m (cv2 truncates
+            # to n afterwards — the right border does not move for odd n)
+            j = _reflect101(i + k - 2, 2 * m)
+            if j % 2 == 0 and j // 2 < m:
+                u[i, j // 2] += np.float32(2.0 * g)
+    return u
+
+
+def _pyr_up_kernel(in_ref, uv_ref, uw_ref, out_ref):
+    x = in_ref[0]  # [m_h, m_w]
+    tmp = jnp.dot(uv_ref[:], x, preferred_element_type=jnp.float32)  # [n_h, m_w]
+    out_ref[0] = jnp.dot(tmp, uw_ref[:].T, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_h", "n_w", "interpret"))
+def pyr_up_pallas(x: jax.Array, n_h: int, n_w: int, interpret: bool = False) -> jax.Array:
+    """Fused pyrUp on [B, m_h, m_w] float32 planes to [B, n_h, n_w]
+    (cv2 parity incl. odd destination sizes)."""
+    b, m_h, m_w = x.shape
+    uv = jnp.asarray(interpolation_matrix(m_h, n_h))
+    uw = jnp.asarray(interpolation_matrix(m_w, n_w))
+    return pl.pallas_call(
+        _pyr_up_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, m_h, m_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_h, m_h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_w, m_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_h, n_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_h, n_w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (n_h * m_h * m_w + n_h * m_w * n_w),
+            bytes_accessed=b * (m_h * m_w + n_h * n_w) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.float32), uv, uw)
+
+
+def pyr_up_fused(
+    x: jax.Array, dst_hw=None, interpret: bool = False
+) -> jax.Array:
+    """pyrUp on (..., H, W, C) to ``dst_hw`` (default 2x), channels folded
+    into the grid. Falls back to the XLA path when the plane + matrices
+    exceed a safe VMEM budget."""
+    from ..pyramid import _pyr_up_xla
+
+    *lead, m_h, m_w, c = x.shape
+    n_h, n_w = dst_hw if dst_hw is not None else (2 * m_h, 2 * m_w)
+    # double-buffered in/out blocks + resident matrices + matmul temp
+    vmem_bytes = (
+        2 * (m_h * m_w + n_h * n_w) + n_h * m_h + n_w * m_w + n_h * m_w
+    ) * 4
+    if vmem_bytes > 13 * 1024 * 1024 or min(m_h, m_w) < 8:
+        return _pyr_up_xla(x, (n_h, n_w))
+    planes = jnp.moveaxis(x, -1, 0).reshape(-1, m_h, m_w).astype(jnp.float32)
+    out = pyr_up_pallas(planes, n_h, n_w, interpret=interpret)
+    out = out.reshape(c, *lead, n_h, n_w)
+    return jnp.moveaxis(out, 0, -1)
 
 
 def pyr_down_fused(x: jax.Array, interpret: bool = False) -> jax.Array:

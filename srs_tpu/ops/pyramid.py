@@ -36,7 +36,7 @@ __all__ = [
     "set_pallas_pyrdown",
 ]
 
-# Route pyrDown through the Pallas MXU decimation-matmul kernel
+# Route pyrDown/pyrUp through the Pallas MXU matmul kernels
 # (ops/pallas/pyramid_pallas.py) when it fits VMEM. Off by default: the
 # measured real-chip numbers (BENCH_LOCAL.md) show the XLA shifted-add
 # path is already HBM-bandwidth-bound and the kernel only engages for
@@ -45,7 +45,7 @@ _PALLAS_PYRDOWN = os.environ.get("SRS_PALLAS_PYRDOWN", "0") == "1"
 
 
 def set_pallas_pyrdown(enabled: bool) -> None:
-    """Toggle the Pallas pyrDown kernel (TPU only; no-op elsewhere)."""
+    """Toggle the Pallas pyramid kernels (TPU only; no-op elsewhere)."""
     global _PALLAS_PYRDOWN
     _PALLAS_PYRDOWN = bool(enabled)
 
@@ -127,12 +127,21 @@ def pyr_down(x: jax.Array) -> jax.Array:
     return _pyr_down_xla(x)
 
 
-def pyr_up(x: jax.Array, dst_hw: Tuple[int, int] | None = None) -> jax.Array:
-    """OpenCV-parity pyrUp on (..., H, W, C) to ``dst_hw`` (default 2x)."""
+def _pyr_up_xla(x: jax.Array, dst_hw: Tuple[int, int] | None = None) -> jax.Array:
+    """XLA interleave+blur pyrUp (the default production path)."""
     ah, aw = _axis_hw(x)
     h, w = x.shape[ah], x.shape[aw]
     th, tw = dst_hw if dst_hw is not None else (2 * h, 2 * w)
     return _up_axis(_up_axis(x, ah, th), aw, tw)
+
+
+def pyr_up(x: jax.Array, dst_hw: Tuple[int, int] | None = None) -> jax.Array:
+    """OpenCV-parity pyrUp on (..., H, W, C) to ``dst_hw`` (default 2x)."""
+    if _pallas_active() and x.ndim >= 3:
+        from .pallas.pyramid_pallas import pyr_up_fused
+
+        return pyr_up_fused(x, dst_hw)
+    return _pyr_up_xla(x, dst_hw)
 
 
 def build_gaussian_pyramid(x: jax.Array, levels: int) -> List[jax.Array]:
