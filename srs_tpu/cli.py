@@ -95,6 +95,43 @@ def _cmd_train(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_warmup(args: argparse.Namespace) -> int:
+    """Pre-compile a config's programs into the persistent XLA cache.
+
+    First compiles of a new shape take minutes through this environment's
+    remote compile helper; running warmup ahead of time (e.g. at deploy)
+    makes the first real job start instantly."""
+    import tempfile
+    import time
+
+    import numpy as np
+
+    from .pipeline import PipelineConfig, SuperResolutionPipeline
+
+    w, h = map(int, args.source.lower().split("x"))
+    rng = np.random.default_rng(0)
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    cfg = PipelineConfig(
+        block_size=args.block_size,
+        target_resolution=args.target,
+        provider=args.provider,
+        quality_model=args.quality_model,
+        bit_depth=args.bit_depth,
+        enable_qa=True,
+    )
+    pipe = SuperResolutionPipeline(cfg)
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as td:
+        r = pipe.process(img, os.path.join(td, "warmup.tiff"))
+    if not r.success:
+        print(f"warmup FAILED: {r.error_message}", file=sys.stderr)
+        return 1
+    print(f"warmed {args.source} -> {args.target} ({args.provider}/"
+          f"{args.quality_model}, block {args.block_size}, {args.bit_depth}-bit) "
+          f"in {time.time() - t0:.1f}s; subsequent runs hit the compile cache")
+    return 0
+
+
 def _cmd_info(args: argparse.Namespace) -> int:
     import jax
 
@@ -165,6 +202,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     pb = sub.add_parser("bench", help="run the 720p->100MP benchmark")
     pb.set_defaults(fn=_cmd_bench)
+
+    pwu = sub.add_parser("warmup", help="pre-compile a config into the XLA cache")
+    pwu.add_argument("--source", default="1280x720", help="input WxH")
+    pwu.add_argument("--target", default="100MP")
+    pwu.add_argument("--block-size", type=int, default=512)
+    pwu.add_argument("--provider", default="quality")
+    pwu.add_argument("--quality-model", default="edsr_l")
+    pwu.add_argument("--bit-depth", type=int, default=8, choices=[8, 16])
+    pwu.set_defaults(fn=_cmd_warmup)
 
     pw = sub.add_parser("webui", help="launch the Streamlit UI")
     pw.add_argument("--port", type=int, default=8501)

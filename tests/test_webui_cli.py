@@ -147,3 +147,12 @@ def test_result_export_reencodes(tmp_path):
     gray = np.full((4, 4, 3), 128.0, np.float32)
     cg = convert_profile(gray, "AdobeRGB")
     assert np.allclose(cg, cg[..., :1], atol=0.6)  # stays neutral
+
+
+def test_cli_warmup_small(capsys):
+    from srs_tpu.cli import main
+
+    rc = main(["warmup", "--source", "96x64", "--target", "192x128",
+               "--provider", "bicubic", "--block-size", "32"])
+    assert rc == 0
+    assert "warmed" in capsys.readouterr().out
