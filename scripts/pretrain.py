@@ -59,16 +59,26 @@ def load_corpus(n: int = CORPUS_N, size: int = CORPUS_SIZE, seed: int = 0):
 def main() -> None:
     argv = [a for a in sys.argv[1:]]
     only = None
+    steps_override = None
+    corpus_n = CORPUS_N
     if "--only" in argv:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    if "--steps" in argv:
+        i = argv.index("--steps")
+        steps_override = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--corpus-n" in argv:
+        i = argv.index("--corpus-n")
+        corpus_n = int(argv[i + 1])
         del argv[i : i + 2]
     out_dir = argv[0] if argv else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "srs_tpu", "models", "checkpoints",
     )
     os.makedirs(out_dir, exist_ok=True)
-    corpus = load_corpus()
+    corpus = load_corpus(n=corpus_n)
     # Merge into an existing eval panel so partial runs accumulate.
     panel_path = os.path.join(out_dir, "EVAL.json")
     panel = {}
@@ -78,10 +88,12 @@ def main() -> None:
     configs = [c for c in CONFIGS if only is None or f"{c[0]}_x{c[1]}" in only]
     for cfg_row in configs:
         name, scale, steps = cfg_row[:3]
+        if steps_override:
+            steps = steps_override
         degradation = cfg_row[3] if len(cfg_row) > 3 else "area"
         t0 = time.time()
         params, loss = train_synthetic(
-            name, scale, steps=steps, corpus_n=CORPUS_N, corpus_size=CORPUS_SIZE,
+            name, scale, steps=steps, corpus_n=corpus_n, corpus_size=CORPUS_SIZE,
             patch=48, batch=32, lr=2e-4, checkpoint_dir=out_dir,
             scan_chunk=50, corpus=corpus, degradation=degradation,
             log_fn=lambda s, l, n=name, sc=scale: print(

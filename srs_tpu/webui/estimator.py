@@ -13,8 +13,9 @@ from __future__ import annotations
 import math
 from typing import Dict
 
-# Conservative default until a bench result is recorded (MP/s on one v5e).
-DEFAULT_MP_PER_SEC = 1.0
+# Measured round-2 steady state on one tunneled v5e (BENCH_LOCAL.md):
+# 6.3 MP/s single-job, 8.1 sustained in batch mode; keep a margin below.
+DEFAULT_MP_PER_SEC = 5.0
 
 
 def calculate_estimates(
