@@ -42,7 +42,14 @@ def _cmd_process(args: argparse.Namespace) -> int:
         content_aware=args.content_aware,
     )
     pipe = SuperResolutionPipeline(cfg)
-    result = pipe.process(args.input, args.output, prompt=args.prompt)
+    if args.profile:
+        from .utils.profiling import device_trace
+
+        with device_trace(args.profile):
+            result = pipe.process(args.input, args.output, prompt=args.prompt)
+        print(f"profiler trace written to {args.profile} (view with xprof/TensorBoard)")
+    else:
+        result = pipe.process(args.input, args.output, prompt=args.prompt)
     if result.success:
         print(f"OK {result.output_path} ({result.processing_time:.1f}s, "
               f"{result.total_blocks} tiles)")
@@ -198,6 +205,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="seam placement avoids faces/text/salient regions")
     pp.add_argument("--prompt", default=None)
     pp.add_argument("--no-qa", action="store_true")
+    pp.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace into DIR")
     pp.set_defaults(fn=_cmd_process)
 
     pb = sub.add_parser("bench", help="run the 720p->100MP benchmark")

@@ -156,3 +156,19 @@ def test_cli_warmup_small(capsys):
                "--provider", "bicubic", "--block-size", "32"])
     assert rc == 0
     assert "warmed" in capsys.readouterr().out
+
+
+def test_cli_process_with_profile(tmp_path):
+    from srs_tpu.cli import main
+
+    img = (np.random.default_rng(0).random((48, 64, 3)) * 255).astype(np.uint8)
+    src = str(tmp_path / "in.png")
+    Image.fromarray(img).save(src)
+    trace_dir = str(tmp_path / "trace")
+    rc = main(["process", src, str(tmp_path / "o.png"), "--target", "128x96",
+               "--provider", "bicubic", "--block-size", "32", "--no-qa",
+               "--profile", trace_dir])
+    assert rc == 0
+    import os as _os
+
+    assert _os.path.isdir(trace_dir) and _os.listdir(trace_dir)
