@@ -1,0 +1,97 @@
+"""Held-out REAL-PHOTOGRAPH eval panel (the generalization oracle).
+
+Every quality number in EVAL.json / quality_bench.py lives on the
+procedural corpus distribution; this script scores the packaged nets on
+the one real photograph in this environment (matplotlib's
+grace_hopper.jpg) — which is NEVER used for training or fitting anywhere
+in the repo (enforced by tests/test_photo_holdout.py). Degradation
+matches the corpus protocol: cv2 INTER_AREA downsample.
+
+    python scripts/photo_eval.py [--cpu] [--scale 2] [--models a,b,c]
+
+Prints one JSON line per model plus a summary table. This is the honest
+analog of the reference's natural-image providers
+(super_resolution_module.py:561-711): a provider that loses to bicubic
+here adds no value on real content no matter its corpus eval.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GRACE_HOPPER = os.path.join(
+    os.path.dirname(os.path.abspath(__import__("matplotlib").__file__)),
+    "mpl-data", "sample_data", "grace_hopper.jpg",
+)
+
+
+def load_photo():
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(Image.open(GRACE_HOPPER).convert("RGB"), np.float32)
+    h, w = img.shape[:2]
+    return img[: h - h % 12, : w - w % 12]  # multiple of 2/3/4 for all scales
+
+
+def psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--scale", type=int, default=2)
+    ap.add_argument("--models", type=str,
+                    default="espcn,edsr_m,rcan,edsr_l,edsr_l_robust")
+    ap.add_argument("--checkpoint-dir", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srs_tpu.models.registry import build_model, is_pretrained
+    from srs_tpu.ops.resize import resize_bicubic_up
+
+    hr = load_photo()
+    s = args.scale
+    lr = cv2.resize(hr, (hr.shape[1] // s, hr.shape[0] // s),
+                    interpolation=cv2.INTER_AREA)
+    lr_b = jnp.asarray(lr, jnp.float32)[None]
+
+    base = psnr(np.clip(np.asarray(resize_bicubic_up(lr_b, s))[0], 0, 255), hr)
+    rows = [{"model": "bicubic", "psnr": round(base, 3), "delta": 0.0}]
+    print(json.dumps(rows[0]), flush=True)
+    for name in args.models.split(","):
+        name = name.strip()
+        if not name:
+            continue
+        trained = is_pretrained(name, s, args.checkpoint_dir)
+        module, params = build_model(name, s, args.checkpoint_dir)
+        out = np.clip(np.asarray(module.apply(params, lr_b))[0], 0, 255)
+        p = psnr(out, hr)
+        row = {"model": name, "psnr": round(p, 3),
+               "delta": round(p - base, 3), "trained": bool(trained)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print(f"\ngrace_hopper x{s} (INTER_AREA degradation)")
+    print("model            PSNR     vs bicubic")
+    for r in rows:
+        print(f"{r['model']:<16} {r['psnr']:6.2f}  {r['delta']:+.2f} dB")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,21 +36,27 @@ CONFIGS = [
     ("edsr_l_robust", 3, 40000, "robust"),
 ]
 
-CORPUS_N = 1536
+CORPUS_N = 3072
 CORPUS_SIZE = 256
+# Round-3 default: the photo-statistics mix (real bundled photos +
+# render_photo + legacy procedural families) — the round-2 verdict's
+# generalization fix. "proc" reproduces the round-1/2 corpus.
+CORPUS_MIX = "v3"
 
 
-def load_corpus(n: int = CORPUS_N, size: int = CORPUS_SIZE, seed: int = 0):
+def load_corpus(n: int = CORPUS_N, size: int = CORPUS_SIZE, seed: int = 0,
+                mix: str = CORPUS_MIX):
     """Cached corpus (generation is minutes of host-side cv2)."""
     import numpy as np
 
     from srs_tpu.models.corpus import make_corpus
 
-    cache = f"/tmp/srs_corpus_{n}_{size}_{seed}.npy"
+    tag = f"{mix}_" if mix != "proc" else ""
+    cache = f"/tmp/srs_corpus_{tag}{n}_{size}_{seed}.npy"
     if os.path.exists(cache):
         return np.load(cache)
     t0 = time.time()
-    corpus = make_corpus(n, size, seed=seed)
+    corpus = make_corpus(n, size, seed=seed, mix=mix)
     np.save(cache, corpus)
     print(f"corpus: {corpus.shape} in {time.time()-t0:.1f}s", flush=True)
     return corpus
@@ -61,6 +67,7 @@ def main() -> None:
     only = None
     steps_override = None
     corpus_n = CORPUS_N
+    mix = CORPUS_MIX
     if "--only" in argv:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
@@ -73,12 +80,16 @@ def main() -> None:
         i = argv.index("--corpus-n")
         corpus_n = int(argv[i + 1])
         del argv[i : i + 2]
+    if "--mix" in argv:
+        i = argv.index("--mix")
+        mix = argv[i + 1]
+        del argv[i : i + 2]
     out_dir = argv[0] if argv else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "srs_tpu", "models", "checkpoints",
     )
     os.makedirs(out_dir, exist_ok=True)
-    corpus = load_corpus(n=corpus_n)
+    corpus = load_corpus(n=corpus_n, mix=mix)
     # Merge into an existing eval panel so partial runs accumulate.
     panel_path = os.path.join(out_dir, "EVAL.json")
     panel = {}
@@ -116,6 +127,7 @@ def main() -> None:
         stats["final_loss"] = loss
         stats["train_seconds"] = time.time() - t0
         stats["degradation"] = degradation
+        stats["mix"] = mix
         panel[f"{name}_x{scale}"] = stats
         print(f"[{name}_x{scale}] {json.dumps(stats)}", flush=True)
     with open(os.path.join(out_dir, "EVAL.json"), "w") as f:

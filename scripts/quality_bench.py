@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=6)
     ap.add_argument("--size", type=int, default=512, help="HR size (LR = size/2)")
     ap.add_argument("--scale", type=int, default=2)
+    ap.add_argument("--no-photo", action="store_true",
+                    help="skip the held-out real-photograph row")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +47,19 @@ def main() -> None:
     images = []
     for i in range(args.n):
         render = render_natural if i % 2 else render_image
-        images.append(render(880_000 + i, hr_size))
+        images.append(("proc", render(880_000 + i, hr_size)))
+    if not args.no_photo:
+        # Permanent held-out row: the one real photograph in this
+        # environment (never trained on — tests/test_photo_holdout.py).
+        from photo_eval import load_photo
+
+        photo = load_photo()
+        ph, pw = photo.shape[:2]
+        s = min(hr_size / ph, hr_size / pw, 1.0)
+        if s < 1.0:
+            photo = cv2.resize(photo, (int(pw * s) // 4 * 4, int(ph * s) // 4 * 4),
+                               interpolation=cv2.INTER_AREA)
+        images.append(("photo", photo))
 
     def psnr(a, b):
         mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
@@ -62,39 +76,46 @@ def main() -> None:
     out_rows = []
     with tempfile.TemporaryDirectory() as td:
         for prov, extra in providers:
-            cfg = PipelineConfig(
-                block_size=128,
-                target_resolution=f"{hr_size}x{hr_size}",
-                provider=prov,
-                enable_qa=False,
-                **extra,
-            )
-            pipe = SuperResolutionPipeline(cfg)
-            scores = []
-            for i, hr in enumerate(images):
-                lr = cv2.resize(hr, (lr_size, lr_size), interpolation=cv2.INTER_AREA)
+            scores = {"proc": [], "photo": []}
+            for i, (kind, hr) in enumerate(images):
+                lr = cv2.resize(hr, (hr.shape[1] // args.scale, hr.shape[0] // args.scale),
+                                interpolation=cv2.INTER_AREA)
+                cfg = PipelineConfig(
+                    block_size=128,
+                    target_resolution=f"{hr.shape[1]}x{hr.shape[0]}",
+                    provider=prov,
+                    enable_qa=False,
+                    **extra,
+                )
+                pipe = SuperResolutionPipeline(cfg)
                 out = os.path.join(td, f"{prov}_{i}.png")
                 r = pipe.process(lr, out)
                 assert r.success, r.error_message
                 from PIL import Image
 
                 up = np.asarray(Image.open(out)).astype(np.float32)
-                scores.append(psnr(up, hr))
+                scores[kind].append(psnr(up, hr))
             label = prov + (f"[{extra['quality_model']}]" if "quality_model" in extra else "")
             row = {
                 "provider": label,
-                "psnr_mean": round(float(np.mean(scores)), 3),
-                "psnr_min": round(float(np.min(scores)), 3),
-                "n": len(scores),
+                "psnr_mean": round(float(np.mean(scores["proc"])), 3),
+                "psnr_min": round(float(np.min(scores["proc"])), 3),
+                "n": len(scores["proc"]),
                 "hr": hr_size,
                 "scale": args.scale,
             }
+            if scores["photo"]:
+                row["photo_psnr"] = round(float(np.mean(scores["photo"])), 3)
             out_rows.append(row)
             print(json.dumps(row), flush=True)
     base = next(r["psnr_mean"] for r in out_rows if r["provider"] == "bicubic")
-    print("\nprovider          PSNR    vs bicubic")
+    base_ph = next((r.get("photo_psnr") for r in out_rows if r["provider"] == "bicubic"), None)
+    print("\nprovider          PSNR    vs bicubic   photo    vs bicubic")
     for r in out_rows:
-        print(f"{r['provider']:<16} {r['psnr_mean']:6.2f}  {r['psnr_mean']-base:+.2f} dB")
+        line = f"{r['provider']:<16} {r['psnr_mean']:6.2f}  {r['psnr_mean']-base:+.2f} dB"
+        if base_ph is not None and "photo_psnr" in r:
+            line += f"   {r['photo_psnr']:6.2f}  {r['photo_psnr']-base_ph:+.2f} dB"
+        print(line)
 
 
 if __name__ == "__main__":

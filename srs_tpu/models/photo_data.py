@@ -1,0 +1,118 @@
+"""Real-photograph training data harvested from installed packages.
+
+The reference's SR providers are production models trained on natural
+photographs (reference: super_resolution_module.py:561-711); this
+zero-egress environment ships no photo dataset, but several installed
+packages bundle real camera images. This module collects them into HR
+training crops.
+
+STRICT HOLDOUT: matplotlib's sample portrait photograph — the evaluation
+image used by scripts/photo_eval.py — is deliberately absent from
+``PHOTO_SOURCES`` and must never be added (tests/test_photo_holdout.py
+enforces this, including a source scan for its filename).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["photo_paths", "load_photos", "photo_mosaic"]
+
+# (package, relative path) — real photographic content only (no renders,
+# screenshots, false-color or thresholded derivatives).
+PHOTO_SOURCES: List[Tuple[str, str]] = [
+    ("sklearn", "datasets/images/china.jpg"),
+    ("sklearn", "datasets/images/flower.jpg"),
+    ("pygame", "docs/generated/_images/camera_rgb.jpg"),
+    ("pygame", "docs/generated/_images/camera_average.jpg"),
+    ("pygame", "docs/generated/_images/camera_background.jpg"),
+]
+
+_CACHE: Optional[List[np.ndarray]] = None
+
+
+def photo_paths() -> List[str]:
+    """Absolute paths of the bundled photos that exist in this install."""
+    import importlib
+
+    out = []
+    for pkg, rel in PHOTO_SOURCES:
+        try:
+            mod = importlib.import_module(pkg)
+        except Exception:
+            continue
+        p = os.path.join(os.path.dirname(os.path.abspath(mod.__file__)), rel)
+        if os.path.isfile(p):
+            out.append(p)
+    return out
+
+
+def load_photos() -> List[np.ndarray]:
+    """Decoded photos as float32 RGB [0,255], cached in-process."""
+    global _CACHE
+    if _CACHE is None:
+        from PIL import Image
+
+        _CACHE = [
+            np.asarray(Image.open(p).convert("RGB"), np.float32)
+            for p in photo_paths()
+        ]
+    return _CACHE
+
+
+def _rand_crop(rng: np.random.Generator, img: np.ndarray, size: int) -> Optional[np.ndarray]:
+    """One augmented ``size``-square crop: random mild downscale (a
+    downscaled photo is still a photo — adds scale diversity without
+    inventing interpolated detail), random position, dihedral-8."""
+    import cv2
+
+    h, w = img.shape[:2]
+    smin = size / min(h, w)
+    if smin > 1.0:
+        return None  # never upsample a photo into HR truth
+    f = rng.uniform(max(smin, 0.45), 1.0)
+    if f < 0.999:
+        img = cv2.resize(img, (max(int(w * f), size), max(int(h * f), size)),
+                         interpolation=cv2.INTER_AREA)
+        h, w = img.shape[:2]
+    y = int(rng.integers(0, h - size + 1))
+    x = int(rng.integers(0, w - size + 1))
+    crop = img[y : y + size, x : x + size]
+    if rng.random() < 0.5:
+        crop = crop[:, ::-1]
+    if rng.random() < 0.5:
+        crop = crop[::-1]
+    if rng.random() < 0.5:
+        crop = np.swapaxes(crop, 0, 1)
+    return np.ascontiguousarray(crop, np.float32)
+
+
+def photo_mosaic(seed: int, size: int = 256) -> Optional[np.ndarray]:
+    """One deterministic ``size``-square HR image of real-photo content.
+
+    Sources large enough yield whole crops; smaller sources contribute via
+    a 2x2 mosaic of half-size crops (mosaic seams are just edges — the
+    *local* statistics stay photographic). Returns None when no bundled
+    photos are available (caller falls back to procedural families)."""
+    photos = load_photos()
+    if not photos:
+        return None
+    rng = np.random.default_rng(seed)
+    big = [p for p in photos if min(p.shape[:2]) >= size]
+    if big and (rng.random() < 0.7 or not photos):
+        crop = _rand_crop(rng, big[int(rng.integers(len(big)))], size)
+        if crop is not None:
+            return crop
+    half = size // 2
+    usable = [p for p in photos if min(p.shape[:2]) >= half]
+    if not usable:
+        return None
+    out = np.empty((size, size, 3), np.float32)
+    for qy in (0, half):
+        for qx in (0, half):
+            src = usable[int(rng.integers(len(usable)))]
+            out[qy : qy + half, qx : qx + half] = _rand_crop(rng, src, half)
+    return out

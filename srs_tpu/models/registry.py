@@ -54,10 +54,10 @@ MODEL_REGISTRY: Dict[str, ModelSpec] = {
     ),
 }
 
-# (name, scale, pretrained) -> (module, params)
-_CACHE: Dict[Tuple[str, int, bool], Tuple[Any, Any]] = {}
-# (name, scale) -> whether a trained checkpoint was actually loaded
-_LOADED: Dict[Tuple[str, int], bool] = {}
+# (name, scale, pretrained, checkpoint_dir, dtype) -> (module, params)
+_CACHE: Dict[Tuple[str, int, bool, Optional[str], str], Tuple[Any, Any]] = {}
+# (name, scale, checkpoint_dir) -> whether a trained checkpoint was loaded
+_LOADED: Dict[Tuple[str, int, Optional[str]], bool] = {}
 
 
 def clear_param_cache() -> None:
@@ -65,15 +65,22 @@ def clear_param_cache() -> None:
     _LOADED.clear()
 
 
-def is_pretrained(name: str, scale: int = 2) -> bool:
-    """Whether ``build_model(name, scale)`` served trained weights (vs the
-    zero-residual bicubic-exact init). Drives the IBP policy: iterative
-    back-projection is the quality floor for untrained nets but pulls a
-    trained net's learned deblurring back toward bicubic (measured -0.75 dB
-    on the held-out panel)."""
-    key = (name, scale)
+def is_pretrained(
+    name: str,
+    scale: int = 2,
+    checkpoint_dir: Optional[str] = None,
+    dtype: Any = jnp.bfloat16,
+) -> bool:
+    """Whether ``build_model(name, scale, checkpoint_dir)`` served trained
+    weights (vs the zero-residual bicubic-exact init). Drives the IBP
+    policy: iterative back-projection is the quality floor for untrained
+    nets but pulls a trained net's learned deblurring back toward bicubic
+    (measured -0.75 dB on the held-out panel). Callers with a custom
+    ``checkpoint_dir``/``dtype`` must pass them so the probe build matches
+    the build they will use (the cache is keyed on both)."""
+    key = (name, scale, checkpoint_dir)
     if key not in _LOADED:
-        build_model(name, scale)
+        build_model(name, scale, checkpoint_dir, dtype=dtype)
     return _LOADED.get(key, False)
 
 
@@ -139,7 +146,7 @@ def build_model(
     if "scale" not in kwargs:
         kwargs["scale"] = scale
     kwargs["dtype"] = dtype
-    key = (name, kwargs["scale"], pretrained)
+    key = (name, kwargs["scale"], pretrained, checkpoint_dir, str(jnp.dtype(dtype)))
     if key in _CACHE:
         return _CACHE[key]
     module = spec.ctor(**kwargs)
@@ -149,7 +156,7 @@ def build_model(
         else None
     )
     if pretrained:
-        _LOADED[(name, kwargs["scale"])] = params is not None
+        _LOADED[(name, kwargs["scale"], checkpoint_dir)] = params is not None
     if params is None:
         # build_model may be reached from inside a jit trace (e.g. the
         # mesh dispatcher jitting the whole SR ladder); force a concrete

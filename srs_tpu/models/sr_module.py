@@ -187,8 +187,19 @@ class SuperResolutionModule:
                 dtype=jnp.dtype(self.config.compute_dtype),
             )
             self._apply_fns[key] = jax.jit(lambda x: module.apply(params, x))
-            self._trained[key] = is_pretrained(name, scale)
+            self._trained[key] = self._is_pretrained(name, scale)
         return self._apply_fns[key]
+
+    def _is_pretrained(self, name: str, scale: int) -> bool:
+        """Registry probe with THIS module's checkpoint_dir/dtype (the
+        registry cache is keyed on both; a bare probe would build and
+        cache params that ignore the user's config)."""
+        from .registry import is_pretrained
+
+        return is_pretrained(
+            name, scale, self.config.checkpoint_dir,
+            dtype=jnp.dtype(self.config.compute_dtype),
+        )
 
     def _net_trained(self, role: str, scale: int) -> bool:
         name = self.config.quality_model if role == "quality" else self.config.fast_model
@@ -219,25 +230,32 @@ class SuperResolutionModule:
             return Image.fromarray(arr.astype(np.uint8))
         return arr.astype(np.float32)
 
-    def _run_net(self, x: jax.Array, role: str, scale: float) -> jax.Array:
+    def _run_net(self, x: jax.Array, role: str, scale: float) -> Tuple[jax.Array, bool]:
         """Apply a ladder of net passes (scale_ladder factorization,
         preferring trained steps), finishing with bicubic to the exact
         target (reference maps arbitrary scales to a fixed SIZE_MAP,
-        sr:259-264; we resolve exactly)."""
+        sr:259-264; we resolve exactly).
+
+        Returns ``(out, all_trained)`` — whether EVERY ladder step served
+        trained weights. This is the IBP gate: back-projection is the
+        quality floor for bicubic-exact (untrained) ladders but costs a
+        trained ladder's learned detail (-0.75 dB measured), and a
+        composite ladder like trained [2, 2] for 4x never builds (name, 4),
+        so the gate must follow the actual steps, not the product scale."""
         target_h = int(round(x.shape[1] * scale))
         target_w = int(round(x.shape[2] * scale))
         name = self.config.quality_model if role == "quality" else self.config.fast_model
-        from .registry import is_pretrained
-
-        trained = {s for s in (2, 3, 4) if is_pretrained(name, s)}
+        trained = {s for s in (2, 3, 4) if self._is_pretrained(name, s)}
+        steps = scale_ladder(scale, trained=trained)
         cur = x
-        for s in scale_ladder(scale, trained=trained):
+        for s in steps:
             cur = self._net(role, s)(cur)
         if role == "polish":
             cur = self._net("polish", 1)(cur)
         if cur.shape[1] != target_h or cur.shape[2] != target_w:
             cur = resize_bicubic(cur, target_h, target_w)
-        return cur
+        all_trained = bool(steps) and all(s in trained for s in steps)
+        return cur, all_trained
 
     # -- deterministic seed (reference: sr:490-515) ------------------------
     def _deterministic_seed(self, image: ImageLike, block_id: str = "") -> int:
@@ -293,10 +311,10 @@ class SuperResolutionModule:
         x, was_pil, had_batch = self._to_batch(image)
         if seed is None:
             seed = self._deterministic_seed(image, block_id)
-        out = self._run_net(x, "quality", target_scale)
+        out, ladder_trained = self._run_net(x, "quality", target_scale)
         eff_scale = out.shape[1] / x.shape[1]
-        if self._net_trained("quality", int(eff_scale) if float(eff_scale).is_integer() else 2):
-            num_inference_steps = 0  # trained net: IBP would undo its detail
+        if ladder_trained:
+            num_inference_steps = 0  # trained ladder: IBP would undo its detail
         if num_inference_steps > 0 and float(eff_scale).is_integer() and eff_scale > 1:
             out = back_project(
                 out, x, int(eff_scale), steps=min(num_inference_steps, 50),
@@ -331,8 +349,7 @@ class SuperResolutionModule:
         if template == VeImageXTemplate.FAST_SR and abs(scale_factor - 1.0) < 1e-6:
             out = self._net("polish", 1)(x)
         else:
-            role = "fast"
-            out = self._run_net(x, role, scale_factor)
+            out, _ = self._run_net(x, "fast", scale_factor)
         out = jnp.clip(out, 0, 255)
         return SuperResolutionResult(
             image=self._from_batch(out, was_pil, had_batch),
@@ -463,18 +480,17 @@ class SuperResolutionModule:
         trained (generic detail prior + per-image adaptation beats either
         alone; fine-tuned gently at 1e-4), else from the fast net at the
         classic from-scratch 5e-4."""
-        from .registry import is_pretrained
         from .train import zssr_finetune
 
         arr, _, had_batch = self._to_batch(image)
         img = np.asarray(arr[0] if not had_batch else arr[0])
         base = (
             self.config.quality_model
-            if is_pretrained(self.config.quality_model, scale)
+            if self._is_pretrained(self.config.quality_model, scale)
             else self.config.fast_model
         )
         if lr is None:
-            lr = 1e-4 if is_pretrained(base, scale) else 5e-4
+            lr = 1e-4 if self._is_pretrained(base, scale) else 5e-4
         module, params = build_model(
             base, scale, self.config.checkpoint_dir,
             dtype=jnp.dtype(self.config.compute_dtype),
@@ -491,11 +507,9 @@ class SuperResolutionModule:
         the given provider resolves to. Drives the pipeline's ladder
         factorization: an untrained step is exact bicubic, so the ladder
         prefers e.g. trained [2, 2] over zero-init [4] at 4x."""
-        from .registry import is_pretrained
-
         role = "quality" if provider in ("quality", "seedream", "hybrid", "zssr") else "fast"
         name = self.config.quality_model if role == "quality" else self.config.fast_model
-        return {s for s in (2, 3, 4) if is_pretrained(name, s)}
+        return {s for s in (2, 3, 4) if self._is_pretrained(name, s)}
 
     def upscale_tiles(
         self, tiles: jax.Array, scale: int, provider: str = "quality", steps: int = 0

@@ -81,19 +81,28 @@ def degrade(
 
     ``robust`` models real capture/compression damage (the lightweight
     real-ESRGAN-style ladder): random gaussian pre-blur (sigma 0.2-1.8)
-    + area downsample + random gaussian noise (sigma 0-8) per step.
+    + area downsample + random gaussian noise (sigma 0-8) per step,
+    with a 30% clean-passthrough fraction (plain area, no blur/noise) so
+    the robust tier stays ABOVE bicubic on clean photographs instead of
+    hallucinating deconvolution everywhere (round-2 verdict: the
+    all-degraded robust net scored -1.3 dB on a clean real photo).
     Requires ``key``. Nets trained on it trade a little clean-input PSNR
     for large gains on noisy/soft inputs.
     """
     if method == "robust":
         assert key is not None, "robust degradation needs a PRNG key"
-        kb, kn = jax.random.split(key)
-        sigma = jax.random.uniform(kb, (), minval=0.2, maxval=1.8)
+        kb, kn, kg = jax.random.split(key, 3)
+        clean = jax.random.uniform(kg, ()) < 0.3
+        sigma = jnp.where(
+            clean, 1e-3, jax.random.uniform(kb, (), minval=0.2, maxval=1.8)
+        )
         xs = jnp.arange(-3, 4, dtype=jnp.float32)
         w = jnp.exp(-0.5 * (xs / sigma) ** 2)
         w = w / w.sum()
         lr_img = downsample_area(_sep_blur7(hr, w), scale)
-        nsigma = jax.random.uniform(kn, (), minval=0.0, maxval=8.0)
+        nsigma = jnp.where(
+            clean, 0.0, jax.random.uniform(kn, (), minval=0.0, maxval=8.0)
+        )
         noise = jax.random.normal(jax.random.fold_in(kn, 1), lr_img.shape) * nsigma
         return jnp.clip(lr_img + noise, 0.0, 255.0)
     if method == "area" and hr.shape[-3] == patch * scale:
@@ -229,6 +238,7 @@ def train_synthetic(
     log_fn: Optional[Callable[[int, float], None]] = None,
     corpus: Optional[np.ndarray] = None,
     degradation: str = "area",
+    mix: str = "proc",
 ):
     """Pretrain a registry model on the procedural corpus (corpus.py).
 
@@ -249,7 +259,7 @@ def train_synthetic(
     module = spec.ctor(**kwargs)
 
     corpus = jnp.asarray(
-        make_corpus(corpus_n, corpus_size, seed) if corpus is None else corpus
+        make_corpus(corpus_n, corpus_size, seed, mix=mix) if corpus is None else corpus
     )
     n_img, ch, cw, _ = corpus.shape
     hp = patch * scale

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["ShardedCanvas", "sharded_finalize_banded"]
+__all__ = ["ShardedCanvas", "gather_canvas", "sharded_finalize_banded"]
 
 
 @dataclass
@@ -70,6 +70,21 @@ def _device_shard(arr: jax.Array, row0: int) -> Any:
     # Non-addressable (multi-host) or unexpected layout: global indexing
     # still yields correct rows (XLA inserts the transfer).
     return None
+
+
+def gather_canvas(sc: ShardedCanvas):
+    """Stitch the authoritative rows of a :class:`ShardedCanvas` into full
+    ``(lap0, coarse)`` host-side arrays (the escape hatch when the banded
+    sharded finalize can't cover its halos; devices 0..S-2 own their first
+    ``own`` rows, the last device owns its whole shard incl. the tail)."""
+
+    def stitch(x: jax.Array, own: int, hl: int) -> jnp.ndarray:
+        arr = np.asarray(x)
+        parts = [arr[d * hl : d * hl + own] for d in range(sc.s - 1)]
+        parts.append(arr[(sc.s - 1) * hl :])
+        return jnp.asarray(np.concatenate(parts, axis=0))
+
+    return stitch(sc.lap0, sc.own0, sc.hl0), stitch(sc.coarse, sc.own1, sc.hl1)
 
 
 def sharded_finalize_banded(
@@ -134,11 +149,18 @@ def sharded_finalize_banded(
     h1b = int(max(0, (ci0 + band_coarse_h - (dev_idx + 1) * own1).max()))
     # A window may overhang into the NEXT device's owned rows (uniform
     # output split vs the last device's extra tail rows makes the windows
-    # drift by up to tail0), but never past it.
+    # drift by up to tail0), but never past it. With very few owned rows
+    # per device (tiny canvases on wide meshes) the one-ppermute halo can't
+    # cover the window; fall back to gathering the canvas and finishing on
+    # the host path — slower but correct, never a failed job.
     if h0t > own0 or h0b > own0 or h1t > own1 or h1b > own1:
-        raise ValueError(
-            f"halo exceeds a full neighbor band: h0=({h0t},{h0b}) own0={own0} "
-            f"h1=({h1t},{h1b}) own1={own1}"
+        from ..ops.blend import blend_finalize_banded
+
+        lap0_full, coarse_full = gather_canvas(sc)
+        return blend_finalize_banded(
+            lap0_full, coarse_full, out_h, out_w, bands=bands,
+            crop_h=crop_h, crop_w=crop_w, to_uint8=to_uint8,
+            as_iterator=as_iterator,
         )
 
     perm_down = [(d, d + 1) for d in range(S - 1)]

@@ -605,7 +605,12 @@ class SuperResolutionPipeline:
         start = time.time()
         stage_times: Dict[str, float] = {}
         self._ensure_engine()
-        self._cancel_event.clear()
+        if self._stage_sem is None:
+            # Batch mode shares one cancel event across worker threads; a
+            # per-job clear there would silently wipe a cancel() issued
+            # while a sibling job runs. process_batch clears it once at
+            # batch entry instead.
+            self._cancel_event.clear()
         sem_held = False
         try:
             # ---- Stage 1: tiling ----
@@ -953,6 +958,7 @@ class SuperResolutionPipeline:
         from concurrent.futures import ThreadPoolExecutor
 
         self._ensure_engine()
+        self._cancel_event.clear()  # once per batch, not per worker job
         self._stage_sem = threading.Semaphore(1)
         try:
             with ThreadPoolExecutor(max_workers=max_concurrent) as ex:

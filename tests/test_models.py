@@ -75,6 +75,26 @@ def test_registry_build_and_cache():
     assert set(MODEL_REGISTRY) >= {"espcn", "espcn_polish", "edsr_m", "edsr_l"}
 
 
+def test_registry_cache_keyed_on_dtype_and_dir(tmp_path):
+    # Regression (ADVICE r2): an is_pretrained() probe with default args
+    # must not poison the cache for a later build with user settings.
+    from srs_tpu.models.registry import clear_param_cache, is_pretrained
+
+    clear_param_cache()
+    try:
+        assert is_pretrained("espcn", 2) in (True, False)  # default probe
+        m_f32, _ = build_model("espcn", 2, dtype=jnp.float32)
+        assert m_f32.dtype == jnp.float32  # not the probe's bfloat16 build
+        m_bf16, _ = build_model("espcn", 2)
+        assert m_bf16.dtype == jnp.bfloat16
+        # distinct checkpoint_dir gets its own cache row (empty dir -> no
+        # trained weights even though the packaged ckpt exists)
+        assert is_pretrained("espcn", 2, checkpoint_dir=str(tmp_path)) == \
+            is_pretrained("espcn", 2)  # packaged fallback still applies
+    finally:
+        clear_param_cache()
+
+
 def test_sr_module_providers(img64):
     sr = SuperResolutionModule()
     r = sr.upscale_seedream(img64, target_scale=2.0, num_inference_steps=4)
