@@ -20,21 +20,16 @@ BASELINE_MP_PER_SEC = 100.0 / 390.0  # reference midpoint (README.md:166-170)
 
 
 def make_input(path: str) -> None:
+    """720p natural-statistics input (round-2 verdict weak #8: the old
+    sinusoid input meant the headline quality/NR numbers never saw
+    photo-like content). A render_photo scene crop: layered objects,
+    depth-of-field, camera PSF, sensor noise."""
     from PIL import Image
 
-    h, w = 720, 1280
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    img = np.stack(
-        [
-            127 + 90 * np.sin(xx / 37) * np.cos(yy / 23),
-            127 + 90 * np.cos((xx + yy) / 41),
-            127 + 90 * np.sin((xx - yy) / 29),
-        ],
-        -1,
-    )
-    rng = np.random.default_rng(0)
-    img = np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
-    Image.fromarray(img).save(path)
+    from srs_tpu.models.corpus import render_photo
+
+    img = render_photo(7, 1280)[280:1000]  # 720x1280 center crop
+    Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(path)
 
 
 def main() -> None:
@@ -122,6 +117,19 @@ def main() -> None:
         "batch": nbatch,
         "d2h_link_MBps": round(link_mbps, 1),
     }
+    # MFU: analytic conv FLOPs of the SR ladder that actually ran (routing/
+    # degradation-aware; from pipeline.last_run_info) over the measured SR
+    # stage time. IBP/blend excluded — bandwidth-bound, not MXU work.
+    info = getattr(pipe, "last_run_info", None)
+    if info and info.get("model") and info.get("ladder") and not info.get("resumed"):
+        from srs_tpu.utils.flops import ladder_flops, mfu
+
+        flops = nbatch * ladder_flops(
+            info["model"], info["ladder"], info["block"], info["num_tiles"]
+        )
+        sr_s = r.stage_times.get("super_resolution", info["sr_seconds"])
+        result.update(mfu(flops, sr_s * nbatch))
+        result["routed_model"] = info["model"]
     # Full-resolution no-reference panel: the downsample-consistency score
     # alone is circular (back-projection optimizes what it measures); these
     # score the actual print-resolution pixels.

@@ -1,0 +1,162 @@
+"""Train the LPIPS feature nets on the distortion ladder (ranking loss).
+
+The reference loads torch-lpips pretrained VGG/Alex features
+(quality_assessment_module.py:135-146, 419-465); zero egress means no
+pretrained perceptual weights, so round 1/2 shipped deterministic RANDOM
+features. This trains them: for a reference patch and two distortions of
+the same kind at severities k1 < k2, the metric must satisfy
+D(ref, d1) < D(ref, d2) — a 2AFC-style hinge on the distance difference
+(the same supervision signal LPIPS itself was trained with, with the
+severity ladder standing in for human judgments).
+
+    python scripts/train_lpips.py [--net vgg,alex] [--steps 1500]
+
+Saves orbax checkpoints to srs_tpu/models/checkpoints/lpips_{net} (the
+packaged location LPIPSMetric probes) and prints a held-out ranking-
+accuracy comparison vs the random-feature baseline.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEED0 = 640_000  # disjoint from training/eval/fit seed ranges
+
+
+def build_pairs(n_imgs: int, size: int, seed0: int):
+    """(ref, d_lo, d_hi) float32 stacks from the fit_qa distortion ladder."""
+    import numpy as np
+
+    from scripts.fit_qa_models import distort  # reuse the ladder
+    from srs_tpu.models.corpus import render_any
+
+    refs, lows, highs = [], [], []
+    rng = np.random.default_rng(seed0)
+    kinds = ("blur", "noise", "jpeg", "upscale")
+    for i in range(n_imgs):
+        img = render_any(seed0 + i, size, mix="v3")
+        for kind in kinds:
+            k1, k2 = sorted(rng.choice(5, 2, replace=False) + 1)
+            refs.append(img)
+            lows.append(distort(img, kind, int(k1)))
+            highs.append(distort(img, kind, int(k2)))
+    return (np.stack(refs).astype(np.float32),
+            np.stack(lows).astype(np.float32),
+            np.stack(highs).astype(np.float32))
+
+
+def ranking_accuracy(dist_fn, refs, lows, highs) -> float:
+    import numpy as np
+
+    ok = 0
+    for r, lo, hi in zip(refs, lows, highs):
+        ok += float(dist_fn(r, lo)) < float(dist_fn(r, hi))
+    return ok / len(refs)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--net", type=str, default="alex,vgg")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from srs_tpu.models.lpips import _ARCHS, _FeatureNet, _unit_normalize
+
+    out_dir = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "srs_tpu", "models", "checkpoints",
+    )
+
+    print("building distortion pairs...", flush=True)
+    refs, lows, highs = build_pairs(48, args.size, SEED0)
+    h_refs, h_lows, h_highs = build_pairs(16, args.size, SEED0 + 10_000)
+    n = len(refs)
+
+    for net in args.net.split(","):
+        net = net.strip()
+        module = _FeatureNet(**_ARCHS[net])
+        import zlib
+
+        seed = zlib.crc32(net.encode()) % (2**31)
+        params = module.init(jax.random.PRNGKey(seed),
+                             jnp.zeros((1, args.size, args.size, 3), jnp.float32))
+
+        def distance_p(p, a, b):
+            an = a / 127.5 - 1.0
+            bn = b / 127.5 - 1.0
+            fa = module.apply(p, an)
+            fb = module.apply(p, bn)
+            total = 0.0
+            for x, y in zip(fa, fb):
+                d = _unit_normalize(x) - _unit_normalize(y)
+                total = total + jnp.mean(jnp.sum(d * d, axis=-1), axis=(1, 2))
+            return total / len(fa)  # [N]
+
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, r, lo, hi):
+            def loss_fn(p):
+                d_lo = distance_p(p, r, lo)
+                d_hi = distance_p(p, r, hi)
+                # 2AFC hinge: the higher severity must measure farther by a
+                # margin proportional to the pair's scale (scale-free).
+                m = 0.15 * jax.lax.stop_gradient(d_lo + d_hi) + 1e-4
+                return jnp.mean(jax.nn.relu(d_lo - d_hi + m))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        # baseline (random features) held-out accuracy
+        dist_fn0 = jax.jit(lambda a, b, p=params: distance_p(p, a[None], b[None])[0])
+        acc0 = ranking_accuracy(dist_fn0, h_refs, h_lows, h_highs)
+
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        loss = float("nan")
+        for s in range(args.steps):
+            idx = rng.integers(0, n, args.batch)
+            params, opt_state, l = step(
+                params, opt_state,
+                jnp.asarray(refs[idx]), jnp.asarray(lows[idx]), jnp.asarray(highs[idx]),
+            )
+            if s % 200 == 0:
+                loss = float(l)
+                print(f"[{net}] step {s}: loss {loss:.4f}", flush=True)
+
+        dist_fn1 = jax.jit(lambda a, b, p=params: distance_p(p, a[None], b[None])[0])
+        acc1 = ranking_accuracy(dist_fn1, h_refs, h_lows, h_highs)
+        print(f"[{net}] ranking accuracy: random {acc0:.3f} -> trained {acc1:.3f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(out_dir, f"lpips_{net}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, params, force=True)
+        ckptr.wait_until_finished()
+        print(f"[{net}] saved {path}", flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,11 @@ class ModelConfig:
     default_provider: str = "hybrid"  # quality | fast | hybrid | bicubic
     quality_model: str = "edsr_l"  # registry key for the quality net
     fast_model: str = "espcn"  # registry key for the fast net
+    # Degradation-aware routing (models/routing.py): probe the input's
+    # noise/blur and swap the quality tier to ``robust_model`` on damaged
+    # inputs. The reference can only route on *failure* (sr:947-962).
+    auto_route: bool = True
+    robust_model: str = "edsr_l_robust"
     compute_dtype: str = "bfloat16"  # MXU-friendly; accumulation in f32
     params_dtype: str = "float32"
     checkpoint_dir: str = field(

@@ -1,0 +1,115 @@
+"""Degradation-aware provider routing.
+
+The reference routes between engines only on *failure* (engine fallback,
+super_resolution_module.py:947-962; degradation ladder,
+agent_scheduler.py:831-887). Its remote providers are degradation-blind.
+The on-device framework can do better: probe the INPUT's noise/blur and
+route clean photographs to the clean-trained quality net and damaged
+inputs to the degradation-robust net (round-2 verdict item 2: the robust
+tier was never auto-selected and cost -1.3 dB when hand-picked on clean
+input).
+
+The probe is host-side numpy on the already-loaded image (a few ms at
+720p — noise floor via the Immerkaer [1,-2,1;-2,4,-2;1,-2,1] residual on
+low-gradient pixels, sharpness via normalized gradient energy); the
+decision stays out of jit so tracing never sees data-dependent branches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["DegradationEstimate", "estimate_degradation", "route_quality_model"]
+
+# Calibrated on the v3 corpus + bundled photos (see tests/test_routing.py):
+# clean area-downsampled inputs measure noise_sigma <= ~1.5 (the held-out
+# real photo's film grain reads 2.3); the robust training ladder adds
+# sigma up to 8 (its post-downsample mean ~4).
+NOISE_SIGMA_THRESHOLD = 2.5
+# HF/MF band-energy ratio: ~1.0-2.8 on clean content of every family
+# (min observed 0.96), decaying to ~0.55-0.75 under a sigma-1.8 pre-blur.
+# Conservative threshold — only clearly soft inputs route to robust.
+BAND_RATIO_FLOOR = 0.75
+
+
+@dataclass
+class DegradationEstimate:
+    noise_sigma: float  # estimated gaussian noise std (0-255 domain)
+    band_ratio: float  # HF/MF energy ratio (~>=1 clean, <<1 blurred)
+    degraded: bool
+    reason: str  # "clean" | "noise" | "blur"
+
+
+def estimate_degradation(
+    image: np.ndarray,
+    noise_threshold: float = NOISE_SIGMA_THRESHOLD,
+    band_ratio_floor: float = BAND_RATIO_FLOOR,
+) -> DegradationEstimate:
+    """Probe an RGB [0,255] image for capture damage.
+
+    Noise: Immerkaer's laplacian-difference residual is N(0, 6*sigma) on
+    noise-only pixels; a median over LOW-GRADIENT pixels (texture masked
+    out via the gradient magnitude) makes it content-robust.
+    Blur: the HF/MF band-energy ratio ``std(L - G1(L)) / std(G1(L) -
+    G2(L))`` (G = gaussian, sigma 1 and 2). On natural ~1/f spectra the
+    ratio is roughly content-invariant; an optical pre-blur suppresses
+    the top octave exponentially faster than the mid band. (Plain
+    gradient-energy sharpness CANNOT detect blur — normalizing by
+    contrast cancels the effect; measured during calibration.)
+    """
+    import cv2
+
+    img = np.asarray(image, np.float32)
+    luma = img @ np.float32([0.299, 0.587, 0.114]) if img.ndim == 3 else img
+    h, w = luma.shape
+    if h < 16 or w < 16:
+        return DegradationEstimate(0.0, 1.0, False, "clean")
+
+    # Immerkaer residual via shifted sums (no scipy dependency)
+    c = luma[1:-1, 1:-1]
+    resp = (
+        4 * c
+        - 2 * (luma[:-2, 1:-1] + luma[2:, 1:-1] + luma[1:-1, :-2] + luma[1:-1, 2:])
+        + luma[:-2, :-2] + luma[:-2, 2:] + luma[2:, :-2] + luma[2:, 2:]
+    )
+    gy = luma[2:, 1:-1] - luma[:-2, 1:-1]
+    gx = luma[1:-1, 2:] - luma[1:-1, :-2]
+    gmag = np.abs(gx) + np.abs(gy)
+    flat = gmag <= np.percentile(gmag, 60)
+    med = float(np.median(np.abs(resp[flat]))) if flat.any() else float(
+        np.median(np.abs(resp))
+    )
+    # |N(0, 6 sigma)| has median 6*0.6745*sigma
+    noise_sigma = med / (6.0 * 0.6745)
+
+    b1 = cv2.GaussianBlur(luma, (0, 0), 1.0)
+    b2 = cv2.GaussianBlur(luma, (0, 0), 2.0)
+    band_ratio = float(np.std(luma - b1)) / max(float(np.std(b1 - b2)), 1e-6)
+
+    if noise_sigma >= noise_threshold:
+        return DegradationEstimate(noise_sigma, band_ratio, True, "noise")
+    if band_ratio <= band_ratio_floor:
+        return DegradationEstimate(noise_sigma, band_ratio, True, "blur")
+    return DegradationEstimate(noise_sigma, band_ratio, False, "clean")
+
+
+def route_quality_model(
+    image: np.ndarray,
+    clean_model: str,
+    robust_model: str = "edsr_l_robust",
+    checkpoint_dir: str | None = None,
+) -> tuple[str, DegradationEstimate]:
+    """Pick the quality-tier net for THIS input.
+
+    Hard guard: the robust model is selected only when (a) the probe says
+    the input is damaged AND (b) robust weights are actually trained —
+    an untrained robust net is exact bicubic and would silently discard
+    the clean net's learned detail."""
+    from .registry import is_pretrained
+
+    est = estimate_degradation(image)
+    if est.degraded and is_pretrained(robust_model, 2, checkpoint_dir):
+        return robust_model, est
+    return clean_model, est

@@ -174,8 +174,12 @@ class SuperResolutionModule:
         self._trained: Dict[Tuple[str, int], bool] = {}
 
     # -- internals ---------------------------------------------------------
-    def _net(self, role: str, scale: int) -> Callable[[jax.Array], jax.Array]:
-        name = self.config.quality_model if role == "quality" else self.config.fast_model
+    def _net(
+        self, role: str, scale: int, model: Optional[str] = None
+    ) -> Callable[[jax.Array], jax.Array]:
+        name = model or (
+            self.config.quality_model if role == "quality" else self.config.fast_model
+        )
         if role == "polish":
             name, scale = "espcn_polish", 1
         key = (name, scale)
@@ -201,11 +205,27 @@ class SuperResolutionModule:
             dtype=jnp.dtype(self.config.compute_dtype),
         )
 
-    def _net_trained(self, role: str, scale: int) -> bool:
-        name = self.config.quality_model if role == "quality" else self.config.fast_model
+    def _net_trained(self, role: str, scale: int, model: Optional[str] = None) -> bool:
+        name = model or (
+            self.config.quality_model if role == "quality" else self.config.fast_model
+        )
         if role == "polish":
             name, scale = "espcn_polish", 1
         return self._trained.get((name, scale), False)
+
+    def route_for(self, image) -> Tuple[Optional[str], Optional[Any]]:
+        """Degradation-aware quality-model override for THIS input (or
+        (None, est) to keep the configured net). See models/routing.py."""
+        if not getattr(self.config, "auto_route", False):
+            return None, None
+        from .routing import route_quality_model
+
+        name, est = route_quality_model(
+            np.asarray(image), self.config.quality_model,
+            getattr(self.config, "robust_model", "edsr_l_robust"),
+            self.config.checkpoint_dir,
+        )
+        return (name if name != self.config.quality_model else None), est
 
     @staticmethod
     def _to_batch(image: ImageLike) -> Tuple[jax.Array, bool, bool]:
@@ -502,23 +522,32 @@ class SuperResolutionModule:
         self._apply_fns[("zssr", scale)] = jax.jit(lambda x: module.apply(tuned, x))
 
     # -- batch device path (pipeline hot path) -----------------------------
-    def trained_scales(self, provider: str = "quality") -> set:
+    def trained_scales(self, provider: str = "quality", model: Optional[str] = None) -> set:
         """Integer net scales {2,3,4} with trained weights for the model
-        the given provider resolves to. Drives the pipeline's ladder
-        factorization: an untrained step is exact bicubic, so the ladder
-        prefers e.g. trained [2, 2] over zero-init [4] at 4x."""
+        the given provider resolves to (or the ``model`` override from
+        degradation routing). Drives the pipeline's ladder factorization:
+        an untrained step is exact bicubic, so the ladder prefers e.g.
+        trained [2, 2] over zero-init [4] at 4x."""
         role = "quality" if provider in ("quality", "seedream", "hybrid", "zssr") else "fast"
-        name = self.config.quality_model if role == "quality" else self.config.fast_model
+        name = model or (
+            self.config.quality_model if role == "quality" else self.config.fast_model
+        )
         return {s for s in (2, 3, 4) if self._is_pretrained(name, s)}
 
     def upscale_tiles(
-        self, tiles: jax.Array, scale: int, provider: str = "quality", steps: int = 0
+        self,
+        tiles: jax.Array,
+        scale: int,
+        provider: str = "quality",
+        steps: int = 0,
+        model: Optional[str] = None,
     ) -> jax.Array:
         """Jit-friendly batch path: [N,B,B,C] float32 [0,255] -> upscaled.
 
         This is what the pipeline calls on the device-resident tile batch;
         the PIL-facing methods above exist for API parity and single-image
-        use."""
+        use. ``model`` overrides the quality/fast registry pick (the
+        degradation router's per-input selection)."""
         if provider == "bicubic":
             return resize_bicubic_up(tiles, scale)
         if provider == "zssr" and ("zssr", scale) in self._apply_fns:
@@ -526,9 +555,9 @@ class SuperResolutionModule:
             out = self._apply_fns[("zssr", scale)](tiles)
             return jnp.clip(out, 0, 255)
         role = "quality" if provider in ("quality", "seedream", "hybrid", "zssr") else "fast"
-        out = self._net(role, scale)(tiles)
+        out = self._net(role, scale, model=model)(tiles)
         if provider in ("hybrid",):
             out = self._net("polish", 1)(out)
-        if steps > 0 and not self._net_trained(role, scale):
+        if steps > 0 and not self._net_trained(role, scale, model=model):
             out = back_project(out, tiles, scale, steps=steps)
         return jnp.clip(out, 0, 255)

@@ -68,6 +68,10 @@ class PipelineConfig:
     provider: str = "quality"  # quality | fast | hybrid | bicubic | zssr
     quality_model: str = "edsr_l"  # registry net for the quality tier (e.g. rcan)
     fast_model: str = "espcn"  # registry net for the fast tier
+    # Probe each input's noise/blur and auto-swap the quality tier to the
+    # degradation-robust net on damaged inputs (models/routing.py).
+    auto_route: bool = True
+    robust_model: str = "edsr_l_robust"
     zssr_steps: int = 150  # self-supervised finetune steps for provider=zssr
     ibp_steps: int = 8  # back-projection refinement steps on the tile batch
     content_aware: bool = False  # seam placement avoids faces/text/saliency
@@ -183,6 +187,8 @@ class SuperResolutionPipeline:
                 ModelConfig(),
                 quality_model=self.config.quality_model,
                 fast_model=self.config.fast_model,
+                auto_route=self.config.auto_route,
+                robust_model=self.config.robust_model,
             ))
         if getattr(self, "dispatcher", None) is None:
             self.dispatcher = None
@@ -227,19 +233,25 @@ class SuperResolutionPipeline:
             return (tw, th)
 
     # -- device stages -----------------------------------------------------
-    def _trained_scales(self, provider: Optional[str] = None) -> Optional[set]:
+    def _trained_scales(
+        self, provider: Optional[str] = None, model: Optional[str] = None
+    ) -> Optional[set]:
         """Trained net scales for the active provider (None = no
         preference, e.g. provider=bicubic or engine not built)."""
         p = provider or self.config.provider
         if p == "bicubic" or self.sr_module is None:
             return None
         try:
-            return self.sr_module.trained_scales(p)
+            return self.sr_module.trained_scales(p, model=model)
         except Exception:
             return None
 
     def _upscale_batch(
-        self, tiles: jnp.ndarray, ladder: List[int], provider: Optional[str] = None
+        self,
+        tiles: jnp.ndarray,
+        ladder: List[int],
+        provider: Optional[str] = None,
+        model: Optional[str] = None,
     ) -> jnp.ndarray:
         """Run the net ladder over the tile batch, chunked to bound HBM.
 
@@ -260,10 +272,13 @@ class SuperResolutionPipeline:
                     cur = self.sr_module.upscale_tiles(
                         cur, s, provider=provider,
                         steps=steps if si == len(ladder) - 1 else 0,
+                        model=model,
                     )
                 return cur
 
-            return self.dispatcher.run_tiled(ladder_fn, tiles, key=f"ladder{ladder}{provider}{steps}")
+            return self.dispatcher.run_tiled(
+                ladder_fn, tiles, key=f"ladder{ladder}{provider}{steps}{model}"
+            )
         n = int(tiles.shape[0])
         final_block = int(tiles.shape[1]) * int(np.prod(ladder)) if ladder else int(tiles.shape[1])
         # Peak per tile ~= pre-shuffle feature maps (64ch bf16 at output
@@ -276,7 +291,7 @@ class SuperResolutionPipeline:
             for si, s in enumerate(ladder):
                 steps = self.config.ibp_steps if si == len(ladder) - 1 else 0
                 cur = self.sr_module.upscale_tiles(
-                    cur, s, provider=provider_name, steps=steps
+                    cur, s, provider=provider_name, steps=steps, model=model
                 )
             outs.append(cur)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -294,6 +309,7 @@ class SuperResolutionPipeline:
         layout,
         tasks: List[Task],
         max_attempts: int = 10,
+        model: Optional[str] = None,
     ):
         """Run the SR batch with the scheduler's retry -> degradation ladder
         wired to REAL device compute (reference: agent_scheduler.py:752-887).
@@ -310,7 +326,9 @@ class SuperResolutionPipeline:
         degradations = 0
         for attempt in range(max_attempts):
             try:
-                up_tiles = self._upscale_batch(tiles, ladder, provider=provider)
+                up_tiles = self._upscale_batch(
+                    tiles, ladder, provider=provider, model=model
+                )
                 up_tiles.block_until_ready()
                 return up_tiles, layout, ladder, provider
             except Exception as e:  # noqa: BLE001 - any device failure enters the ladder
@@ -332,6 +350,7 @@ class SuperResolutionPipeline:
                     cur = provider or self.config.provider
                     if cfg.get("use_fallback_engine"):
                         provider = self._FALLBACK_PROVIDERS.get(cur, "bicubic")
+                        model = None  # routed override is a quality-tier pick
                     new_scale = float(degraded[0].scale_factor)
                     ladder = _scale_ladder(new_scale, trained=self._trained_scales(provider))
                     layout = compute_layout(
@@ -444,7 +463,10 @@ class SuperResolutionPipeline:
         raise ValueError(f"unknown blend method {method!r}")
 
     # -- SR checkpoint/resume (reference: main.py:299-304) ------------------
-    def _resume_key(self, image_hash: str, ladder: List[int], layout) -> Optional[str]:
+    def _resume_key(
+        self, image_hash: str, ladder: List[int], layout,
+        model: Optional[str] = None,
+    ) -> Optional[str]:
         """Content-addressed key for the upscaled-tile store: any knob that
         changes the SR output changes the key."""
         if not self.config.enable_checkpoint:
@@ -454,7 +476,7 @@ class SuperResolutionPipeline:
         sig = (
             f"{image_hash}:{self.config.provider}:{ladder}:{self.config.ibp_steps}"
             f":{layout.block}:{layout.overlap}:{self.config.zssr_steps}"
-            f":{self.config.seedream_steps}"
+            f":{self.config.seedream_steps}:{model or self.config.quality_model}"
         )
         return "sr-" + _hashlib.md5(sig.encode()).hexdigest()
 
@@ -619,7 +641,24 @@ class SuperResolutionPipeline:
             h, w = image.shape[:2]
             tw, th = self._calculate_target_size((w, h), self.config.target_resolution)
             scale_total = max(tw / w, th / h)
-            ladder = _scale_ladder(scale_total, trained=self._trained_scales())
+            # Degradation-aware routing: probe THIS input's noise/blur and
+            # swap the quality tier to the robust net when damaged
+            # (models/routing.py; the reference routes only on failure).
+            routed_model: Optional[str] = None
+            if self.config.provider in ("quality", "seedream", "hybrid"):
+                try:
+                    routed_model, est = self.sr_module.route_for(image)
+                    if routed_model:
+                        logger.info(
+                            "degradation router: %s (noise %.2f, band ratio "
+                            "%.2f) -> %s", est.reason, est.noise_sigma,
+                            est.band_ratio, routed_model,
+                        )
+                except Exception:  # noqa: BLE001 - routing is best-effort
+                    routed_model = None
+            ladder = _scale_ladder(
+                scale_total, trained=self._trained_scales(model=routed_model)
+            )
             net_scale = int(np.prod(ladder)) if ladder else 1
             # One h2d upload of the input: tiling pads/extracts from it and
             # the QA stage reuses it as the device-resident reference.
@@ -654,9 +693,10 @@ class SuperResolutionPipeline:
             # Mid-run resume: probe the tile store for already-upscaled
             # tiles from a killed previous run (reference: main.py:299-304
             # probed; restore was a TODO there — here it works).
-            resume_key = self._resume_key(image_hash, ladder, layout)
+            resume_key = self._resume_key(image_hash, ladder, layout, routed_model)
             cached_sr = self._probe_resume(resume_key, layout.num_tiles)
             recomputed = True
+            _prov = None
             if cached_sr is not None and len(cached_sr) == layout.num_tiles:
                 up_tiles = jnp.asarray(
                     np.stack([cached_sr[i] for i in range(layout.num_tiles)]),
@@ -669,7 +709,8 @@ class SuperResolutionPipeline:
                 try:
                     missing = [i for i in range(layout.num_tiles) if i not in cached_sr]
                     up_missing = self._upscale_batch(
-                        jnp.take(tiles, jnp.asarray(missing), axis=0), ladder
+                        jnp.take(tiles, jnp.asarray(missing), axis=0), ladder,
+                        model=routed_model,
                     )
                     up_missing.block_until_ready()
                     parts: List[np.ndarray] = [None] * layout.num_tiles  # type: ignore[list-item]
@@ -684,19 +725,38 @@ class SuperResolutionPipeline:
                 except Exception:  # noqa: BLE001 - partial resume is best-effort
                     logger.warning("partial resume failed; recomputing batch")
                     up_tiles, layout, ladder, _prov = self._run_stage2(
-                        image, tiles, ladder, layout, tasks
+                        image, tiles, ladder, layout, tasks, model=routed_model
                     )
             else:
                 up_tiles, layout, ladder, _prov = self._run_stage2(
-                    image, tiles, ladder, layout, tasks
+                    image, tiles, ladder, layout, tasks, model=routed_model
                 )
             net_scale = int(np.prod(ladder)) if ladder else 1
             if recomputed and self.config.enable_checkpoint:
                 self._checkpoint_sr(
-                    self._resume_key(image_hash, ladder, layout), up_tiles
+                    self._resume_key(image_hash, ladder, layout, routed_model),
+                    up_tiles,
                 )
             self._book_done(tasks)
             stage_times["super_resolution"] = time.time() - t0
+            # Instrumentation for MFU accounting (bench.py): what actually
+            # ran in stage 2 after routing/degradation/resume.
+            prov_used = _prov or self.config.provider
+            if prov_used in ("quality", "seedream", "hybrid", "zssr"):
+                model_used = routed_model or self.config.quality_model
+            elif prov_used in ("fast", "veimagex"):
+                model_used = self.config.fast_model
+            else:
+                model_used = None
+            self.last_run_info = {
+                "ladder": list(ladder),
+                "num_tiles": int(layout.num_tiles),
+                "block": int(layout.block),
+                "provider": prov_used,
+                "model": model_used,
+                "resumed": not recomputed,
+                "sr_seconds": stage_times["super_resolution"],
+            }
 
             # ---- Stage 3: blending ----
             self._check_cancel("blending")

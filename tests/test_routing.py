@@ -1,0 +1,113 @@
+"""Degradation-aware routing (models/routing.py): probe calibration and
+the pipeline's per-input quality-model swap (round-2 verdict item 2)."""
+
+import numpy as np
+import pytest
+
+
+def _clean_lr(seed, size=128):
+    import cv2
+
+    from srs_tpu.models.corpus import render_photo
+
+    hr = render_photo(seed, size * 2)
+    return cv2.resize(hr, (size, size), interpolation=cv2.INTER_AREA)
+
+
+def test_clean_photo_inputs_route_clean():
+    from srs_tpu.models.routing import estimate_degradation
+
+    for seed in range(700, 708):
+        est = estimate_degradation(_clean_lr(seed))
+        assert not est.degraded, (seed, est)
+
+
+def test_bundled_real_photos_route_by_true_noise():
+    """Clean bundled photos route clean; the raw webcam frame
+    (camera_rgb, true sensor noise sigma~6 — its temporal average scores
+    ~1.2) must route as noise: a true positive, not a miscalibration."""
+    import cv2
+
+    from srs_tpu.models.photo_data import load_photos, photo_paths
+    from srs_tpu.models.routing import estimate_degradation
+
+    photos = load_photos()
+    if not photos:
+        pytest.skip("no bundled photos in this install")
+    for path, ph in zip(photo_paths(), photos):
+        lr = cv2.resize(ph, (ph.shape[1] // 2, ph.shape[0] // 2),
+                        interpolation=cv2.INTER_AREA)
+        est = estimate_degradation(lr)
+        if "camera_rgb" in path:
+            assert est.degraded and est.reason == "noise", est
+        else:
+            assert not est.degraded, (path, est)
+
+
+def test_noisy_inputs_route_degraded():
+    from srs_tpu.models.routing import estimate_degradation
+
+    rng = np.random.default_rng(0)
+    for seed in range(700, 704):
+        lr = _clean_lr(seed)
+        noisy = np.clip(lr + rng.normal(0, 6, lr.shape), 0, 255).astype(np.float32)
+        est = estimate_degradation(noisy)
+        assert est.degraded and est.reason == "noise", est
+
+
+def test_heavy_blur_routes_degraded():
+    import cv2
+
+    from srs_tpu.models.corpus import render_photo
+    from srs_tpu.models.routing import estimate_degradation
+
+    n_caught = 0
+    for seed in range(700, 706):
+        hr = render_photo(seed, 256)
+        soft = cv2.GaussianBlur(hr, (0, 0), 2.2)
+        lr = cv2.resize(soft, (128, 128), interpolation=cv2.INTER_AREA)
+        if estimate_degradation(lr).degraded:
+            n_caught += 1
+    # conservative detector: must catch most heavy-blur inputs without
+    # ever flagging clean ones (test above)
+    assert n_caught >= 4, f"only {n_caught}/6 heavy-blur inputs detected"
+
+
+def test_route_quality_model_guard(tmp_path):
+    """The robust pick requires trained robust weights — with an empty
+    checkpoint dir... the packaged fallback still applies, so use a fake
+    model name to prove the guard."""
+    from srs_tpu.models.routing import route_quality_model
+
+    rng = np.random.default_rng(1)
+    noisy = np.clip(_clean_lr(700) + rng.normal(0, 6, (128, 128, 3)), 0, 255)
+    # unknown robust model -> guard keeps the clean net
+    name, est = route_quality_model(noisy, "edsr_l", robust_model="espcn_polish")
+    assert est.degraded
+    # espcn_polish has no packaged x2 checkpoint -> stays on clean model
+    assert name == "edsr_l"
+
+
+def test_pipeline_routes_noisy_input(tmp_path):
+    """End-to-end: a noisy input swaps the quality tier to the robust net
+    (visible through the SR module's built apply-fns)."""
+    from srs_tpu.models.registry import is_pretrained
+    from srs_tpu.pipeline import PipelineConfig, SuperResolutionPipeline
+
+    if not is_pretrained("edsr_l_robust", 2):
+        pytest.skip("no packaged robust checkpoint")
+    rng = np.random.default_rng(2)
+    lr = _clean_lr(710, 96)
+    noisy = np.clip(lr + rng.normal(0, 6, lr.shape), 0, 255).astype(np.float32)
+    cfg = PipelineConfig(block_size=64, target_resolution="192x192",
+                         provider="quality", enable_qa=False)
+    pipe = SuperResolutionPipeline(cfg)
+    out = str(tmp_path / "routed.png")
+    r = pipe.process(noisy, out)
+    assert r.success
+    assert ("edsr_l_robust", 2) in pipe.sr_module._apply_fns
+    # clean input keeps the configured net
+    pipe2 = SuperResolutionPipeline(cfg)
+    r2 = pipe2.process(lr, str(tmp_path / "clean.png"))
+    assert r2.success
+    assert ("edsr_l_robust", 2) not in pipe2.sr_module._apply_fns
