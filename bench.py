@@ -139,6 +139,21 @@ def main() -> None:
             if k in r.quality_report:
                 v = r.quality_report[k]
                 result[k] = round(v, 3) if isinstance(v, float) else v
+    # Input-vs-output NIQE delta: is the upscale *adding* unnaturalness?
+    # (Both on the calibrated scale: good<3 / acceptable<5 / poor<8.)
+    if "fullres_niqe" in result:
+        try:
+            from srs_tpu.qa.niqe import niqe_scores
+
+            inp_img = np.asarray(Image.open(inp), np.float32)
+            nq = niqe_scores(jnp.asarray(inp_img)[None])
+            if nq and nq[0] is not None:
+                result["input_niqe"] = round(float(nq[0]), 3)
+                result["niqe_delta"] = round(
+                    result["fullres_niqe"] - float(nq[0]), 3
+                )
+        except Exception:
+            pass
     print(json.dumps(result))
 
 

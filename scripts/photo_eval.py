@@ -78,9 +78,17 @@ def main() -> None:
         name = name.strip()
         if not name:
             continue
-        trained = is_pretrained(name, s, args.checkpoint_dir)
-        module, params = build_model(name, s, args.checkpoint_dir)
-        out = np.clip(np.asarray(module.apply(params, lr_b))[0], 0, 255)
+        ensemble = name.endswith("+")  # "edsr_l+" = geometric self-ensemble
+        bare = name[:-1] if ensemble else name
+        trained = is_pretrained(bare, s, args.checkpoint_dir)
+        module, params = build_model(bare, s, args.checkpoint_dir)
+        if ensemble:
+            from srs_tpu.models.sr_module import _dihedral_ensemble
+
+            out_b = _dihedral_ensemble(lambda x: module.apply(params, x), lr_b)
+        else:
+            out_b = module.apply(params, lr_b)
+        out = np.clip(np.asarray(out_b)[0], 0, 255)
         p = psnr(out, hr)
         row = {"model": name, "psnr": round(p, 3),
                "delta": round(p - base, 3), "trained": bool(trained)}

@@ -71,6 +71,7 @@ def main() -> None:
         ("quality", {}),
         ("quality", {"quality_model": "rcan"}),
         ("quality", {"quality_model": "edsr_l"}),
+        ("hybrid", {}),
         ("zssr", {"zssr_steps": 100}),
     ]
     out_rows = []

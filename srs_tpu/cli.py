@@ -40,6 +40,7 @@ def _cmd_process(args: argparse.Namespace) -> int:
         enable_color_correction=args.color_correction,
         enable_checkpoint=args.checkpoint,
         content_aware=args.content_aware,
+        self_ensemble=args.self_ensemble,
     )
     pipe = SuperResolutionPipeline(cfg)
     if args.profile:
@@ -203,6 +204,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="persist upscaled tiles for kill-resume (costs host-link traffic)")
     pp.add_argument("--content-aware", action="store_true",
                     help="seam placement avoids faces/text/salient regions")
+    pp.add_argument("--self-ensemble", action="store_true",
+                    help="average the net over the 8 dihedral tile "
+                         "transforms (EDSR '+': ~+0.3 dB, 8x SR compute)")
     pp.add_argument("--prompt", default=None)
     pp.add_argument("--no-qa", action="store_true")
     pp.add_argument("--profile", default=None, metavar="DIR",

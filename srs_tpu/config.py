@@ -49,6 +49,11 @@ class ModelConfig:
     robust_model: str = "edsr_l_robust"
     compute_dtype: str = "bfloat16"  # MXU-friendly; accumulation in f32
     params_dtype: str = "float32"
+    # Geometric self-ensemble (the EDSR-paper "+" mode): average the net
+    # over the 8 dihedral transforms of each tile. ~+0.3-0.4 dB measured
+    # on the real-photo holdout for 8x the SR-stage compute (the stage is
+    # a minority of end-to-end time; see BENCH_LOCAL.md). Off by default.
+    self_ensemble: bool = False
     checkpoint_dir: str = field(
         default_factory=lambda: os.path.expanduser("~/.cache/srs_tpu/models")
     )

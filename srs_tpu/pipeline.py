@@ -72,6 +72,9 @@ class PipelineConfig:
     # degradation-robust net on damaged inputs (models/routing.py).
     auto_route: bool = True
     robust_model: str = "edsr_l_robust"
+    # Geometric self-ensemble over the 8 dihedral tile transforms (EDSR's
+    # "+" mode): +0.3-0.4 dB on photographs for 8x SR-stage compute.
+    self_ensemble: bool = False
     zssr_steps: int = 150  # self-supervised finetune steps for provider=zssr
     ibp_steps: int = 8  # back-projection refinement steps on the tile batch
     content_aware: bool = False  # seam placement avoids faces/text/saliency
@@ -189,6 +192,7 @@ class SuperResolutionPipeline:
                 fast_model=self.config.fast_model,
                 auto_route=self.config.auto_route,
                 robust_model=self.config.robust_model,
+                self_ensemble=self.config.self_ensemble,
             ))
         if getattr(self, "dispatcher", None) is None:
             self.dispatcher = None

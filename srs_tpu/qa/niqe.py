@@ -177,8 +177,19 @@ def niqe_features(image: jax.Array, patch: int = 96, select: float = 0.75) -> np
     return feats[keep] if keep.any() else feats
 
 
-def fit_pristine_model(images, patch: int = 96) -> Dict[str, np.ndarray]:
-    """Fit the pristine MVG (mu, cov) over feature vectors of a corpus."""
+def fit_pristine_model(
+    images, patch: int = 96, shrink: float = 0.0
+) -> Dict[str, np.ndarray]:
+    """Fit the pristine MVG (mu, cov) over feature vectors of a corpus.
+
+    ``shrink`` applies diagonal covariance shrinkage
+    ``cov <- (1-s)*cov + s*diag(cov)``: with a few hundred pristine
+    patches the raw 36x36 covariance is overconfident along thin
+    directions of natural image-to-image variation, which inflates the
+    Mahalanobis distance of held-out *clean* images far above the
+    distortion signal (measured: unshrunk LOO distances of real photos
+    were 40-240 vs ~4-13 at s=0.1). The packaged model ships s=0.1
+    (scripts/fit_qa_models.py)."""
     feats = []
     for im in images:
         feats.append(np.asarray(niqe_features(jnp.asarray(im, jnp.float32), patch)))
@@ -186,16 +197,27 @@ def fit_pristine_model(images, patch: int = 96) -> Dict[str, np.ndarray]:
     f = f[np.all(np.isfinite(f), axis=1)]
     mu = f.mean(axis=0)
     cov = np.cov(f, rowvar=False)
+    if shrink > 0.0:
+        cov = (1.0 - shrink) * cov + shrink * np.diag(np.diag(cov))
     return {"mu": mu.astype(np.float64), "cov": cov.astype(np.float64)}
 
 
 @lru_cache(maxsize=1)
-def _load_pristine() -> Optional[Tuple[np.ndarray, np.ndarray]]:
+def _load_pristine() -> Optional[Tuple[np.ndarray, np.ndarray, float, float]]:
+    """(mu, cov, scale_a, scale_b). The affine scale maps the raw
+    Mahalanobis distance onto the published NIQE scale the reference's
+    thresholds assume (good<3 / acceptable<5 / poor<8, reference
+    quality_assessment_module.py:63-70) — anchored at fit time on a
+    held-out pristine median (->2.5) and a blur-severity-3 median (->8.0);
+    see scripts/fit_qa_models.py. Older npz files without anchors load as
+    the identity scale."""
     path = os.path.join(DATA_DIR, "niqe_pristine.npz")
     if not os.path.exists(path):
         return None
     z = np.load(path)
-    return z["mu"], z["cov"]
+    a = float(z["scale_a"]) if "scale_a" in z else 1.0
+    b = float(z["scale_b"]) if "scale_b" in z else 0.0
+    return z["mu"], z["cov"], a, b
 
 
 def _mahalanobis_score(f: np.ndarray, mu_p: np.ndarray, cov_p: np.ndarray) -> Optional[float]:
@@ -221,14 +243,18 @@ def niqe_scores(images: jax.Array, patch: int = 96, select: float = 0.75):
     model = _load_pristine()
     if model is None:
         return [None] * int(images.shape[0])
-    mu_p, cov_p = model
+    mu_p, cov_p, sa, sb = model
+
+    def cal(v):
+        return None if v is None else max(sa * v + sb, 0.0)
+
     n = int(images.shape[0])
     g = jax.vmap(lambda im: _gray(im).astype(jnp.float32))(images)
     h, w = g.shape[-2], g.shape[-1]
     ph, pw = h // patch, w // patch
     if ph == 0 or pw == 0:
         feats = np.asarray(jax.vmap(_image_features36)(g), np.float64)
-        return [_mahalanobis_score(feats[i : i + 1], mu_p, cov_p) for i in range(n)]
+        return [cal(_mahalanobis_score(feats[i : i + 1], mu_p, cov_p)) for i in range(n)]
     g = g[:, : ph * patch, : pw * patch]
     patches = g.reshape(n, ph, patch, pw, patch).transpose(0, 1, 3, 2, 4).reshape(
         n * ph * pw, patch, patch
@@ -241,7 +267,7 @@ def niqe_scores(images: jax.Array, patch: int = 96, select: float = 0.75):
     for i in range(n):
         keep = sharp_np[i] >= select * float(sharp_np[i].max())
         f = feats_np[i][keep] if keep.any() and select > 0 else feats_np[i]
-        out.append(_mahalanobis_score(f, mu_p, cov_p))
+        out.append(cal(_mahalanobis_score(f, mu_p, cov_p)))
     return out
 
 
@@ -270,20 +296,10 @@ def niqe_score(image: jax.Array, patch: int = 96) -> Optional[float]:
     model = _load_pristine()
     if model is None:
         return None
-    mu_p, cov_p = model
+    mu_p, cov_p, sa, sb = model
     f = np.asarray(niqe_features(image, patch), np.float64)
-    f = f[np.all(np.isfinite(f), axis=1)]
-    if f.shape[0] == 0:
-        return None
-    mu_t = f.mean(axis=0)
-    cov_t = np.cov(f, rowvar=False) if f.shape[0] > 1 else np.zeros_like(cov_p)
-    d = mu_p - mu_t
-    s = (cov_p + cov_t) / 2.0 + 1e-8 * np.eye(len(mu_p))
-    try:
-        val = float(np.sqrt(max(d @ np.linalg.solve(s, d), 0.0)))
-    except np.linalg.LinAlgError:
-        return None
-    return val
+    raw = _mahalanobis_score(f, mu_p, cov_p)
+    return None if raw is None else max(sa * raw + sb, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache for the whole suite (not just tests that
+# construct a pipeline, which enables it in __init__): the heavy tests are
+# compile-dominated (shard_map programs on the 8-device mesh, zssr's
+# training step), so a warm cache is the difference between a ~10 min and
+# a ~3 min inner loop.
+from srs_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -47,6 +47,23 @@ def test_nets_equal_bicubic_at_init(img64, net_cls):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
 
+def test_dihedral_self_ensemble(img64):
+    """Geometric self-ensemble: exact for a dihedral-equivariant operator
+    (bicubic), and the config flag routes upscale_tiles through it."""
+    from srs_tpu.models.sr_module import SuperResolutionModule, _dihedral_ensemble
+    from srs_tpu.config import ModelConfig
+
+    x = jnp.asarray(img64)[None]
+    ens = _dihedral_ensemble(lambda t: resize_bicubic_up(t, 2), x)
+    np.testing.assert_allclose(
+        np.asarray(ens), np.asarray(resize_bicubic_up(x, 2)), atol=1e-3
+    )
+    m = SuperResolutionModule(ModelConfig(self_ensemble=True, auto_route=False))
+    out = m.upscale_tiles(x, 2, provider="fast")
+    assert out.shape == (1, 128, 128, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_polish_identity_at_init(img64):
     model = ESPCN(scale=1)
     x = jnp.asarray(img64)[None]

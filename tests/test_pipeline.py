@@ -314,10 +314,10 @@ def test_failure_ladder_degrades_to_fallback(input_png, tmp_path):
     pipe._ensure_engine()
     real = pipe.sr_module.upscale_tiles
 
-    def flaky(tiles, scale, provider="quality", steps=0):
+    def flaky(tiles, scale, provider="quality", steps=0, **kw):
         if provider != "fast" and provider != "bicubic":
             raise RuntimeError("injected device failure (simulated OOM)")
-        return real(tiles, scale, provider=provider, steps=steps)
+        return real(tiles, scale, provider=provider, steps=steps, **kw)
 
     pipe.sr_module.upscale_tiles = flaky
     result = pipe.process(input_png, out)
@@ -338,11 +338,11 @@ def test_failure_ladder_transient_retry(input_png, tmp_path):
     real = pipe.sr_module.upscale_tiles
     calls = {"n": 0}
 
-    def transient(tiles, scale, provider="quality", steps=0):
+    def transient(tiles, scale, provider="quality", steps=0, **kw):
         calls["n"] += 1
         if calls["n"] <= 2:
             raise RuntimeError("transient failure")
-        return real(tiles, scale, provider=provider, steps=steps)
+        return real(tiles, scale, provider=provider, steps=steps, **kw)
 
     pipe.sr_module.upscale_tiles = transient
     result = pipe.process(input_png, out)
@@ -367,9 +367,9 @@ def test_checkpoint_resume_after_kill(input_png, tmp_path):
         calls = {"n": 0}
         real = p.sr_module.upscale_tiles
 
-        def counting(tiles, scale, provider="quality", steps=0):
+        def counting(tiles, scale, provider="quality", steps=0, **kw):
             calls["n"] += 1
-            return real(tiles, scale, provider=provider, steps=steps)
+            return real(tiles, scale, provider=provider, steps=steps, **kw)
 
         p.sr_module.upscale_tiles = counting
         return p, calls

@@ -209,8 +209,13 @@ def test_full_niqe_orders_distortions():
         panel["blur"].append(niqe_score(jnp.asarray(blur)))
         panel["noise"].append(niqe_score(jnp.asarray(noisy)))
     means = {k: float(np.mean(v)) for k, v in panel.items()}
-    assert means["blur"] > means["clean"] + 2.0, means
-    assert means["noise"] > means["clean"] + 20.0, means
+    # Margins on the CALIBRATED scale (good<3 / acceptable<5 / poor<8,
+    # scripts/fit_qa_models.py): sigma-2.2 blur must cost >=1.5 NIQE
+    # points, sigma-25 noise >=5 — and clean natural-statistics renders
+    # must land inside the acceptable band.
+    assert means["blur"] > means["clean"] + 1.5, means
+    assert means["noise"] > means["clean"] + 5.0, means
+    assert means["clean"] < 5.0, means
 
 
 def test_trained_brisque_monotone_in_severity():
