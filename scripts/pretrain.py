@@ -84,6 +84,11 @@ def main() -> None:
         i = argv.index("--mix")
         mix = argv[i + 1]
         del argv[i : i + 2]
+    grain = 0.0
+    if "--grain" in argv:
+        i = argv.index("--grain")
+        grain = float(argv[i + 1])
+        del argv[i : i + 2]
     out_dir = argv[0] if argv else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "srs_tpu", "models", "checkpoints",
@@ -107,6 +112,7 @@ def main() -> None:
             name, scale, steps=steps, corpus_n=corpus_n, corpus_size=CORPUS_SIZE,
             patch=48, batch=32, lr=2e-4, checkpoint_dir=out_dir,
             scan_chunk=50, corpus=corpus, degradation=degradation,
+            hr_grain=grain,
             log_fn=lambda s, l, n=name, sc=scale: print(
                 f"[{n}_x{sc}] step {s}: loss {l:.5f}", flush=True)
             if s % 1000 == 0 else None,
@@ -128,6 +134,8 @@ def main() -> None:
         stats["train_seconds"] = time.time() - t0
         stats["degradation"] = degradation
         stats["mix"] = mix
+        if grain:
+            stats["hr_grain"] = grain
         panel[f"{name}_x{scale}"] = stats
         print(f"[{name}_x{scale}] {json.dumps(stats)}", flush=True)
     with open(os.path.join(out_dir, "EVAL.json"), "w") as f:

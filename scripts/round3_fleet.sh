@@ -1,12 +1,21 @@
 #!/bin/bash
-# Round-3 retraining fleet: every packaged net retrained on the v3
+# Round-3 retraining fleet v2: every packaged net retrained on the v3
 # photo-statistics corpus (VERDICT r2 item 1), robust tier with the
-# clean-passthrough degradation (item 2), LPIPS feature training (item 7)
-# and the espcn_polish stage (item 5). Stages run SEQUENTIALLY — only one
-# process may own the TPU (CLAUDE.md). Per-stage timeout guards the known
-# hung-device failure mode; a killed stage just moves on (each stage is
-# independently resumable by rerunning this script: pretrain merges into
-# EVAL.json per net).
+# clean-passthrough degradation (item 2), LPIPS feature training (item 7,
+# device-resident rewrite) and the espcn_polish stage (item 5). Stages run
+# SEQUENTIALLY — only one process may own the TPU (CLAUDE.md). Per-stage
+# timeout guards the known hung-device failure mode; a killed stage just
+# moves on (each stage is independently resumable by rerunning this
+# script: pretrain merges into EVAL.json per net).
+#
+# v2 changes after the 12k-vs-80k and grain A/Bs (/tmp/ab_*):
+# - hr_grain dropped (falsified: +0.01 dB on the photo holdout at both
+#   espcn and edsr_l scale);
+# - edsr_m/rcan/espcn_x4 at 30k (the 12k flagship beat the 80k one on the
+#   real photo by +0.13 dB — shorter schedules generalize better, and the
+#   mid tiers exist for fusion diversity, not corpus records);
+# - lpips stage uses the device-resident trainer (the v1 stage shipped
+#   4.7 MB/step over the ~30 MB/s tunnel and timed out at step ~400).
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/fleet
@@ -22,19 +31,17 @@ stage() {  # name timeout_s cmd...
     echo "== $name: FAILED rc=$rc (see $LOG/$name.log)"; fi
 }
 
-stage edsr_l_x2       12000 python scripts/pretrain.py --only edsr_l_x2 --steps 80000
-stage espcn_x2         3600 python scripts/pretrain.py --only espcn_x2 --steps 30000
-stage lpips            3600 python scripts/train_lpips.py --steps 1500
 stage edsr_l_x3        9000 python scripts/pretrain.py --only edsr_l_x3 --steps 50000
 stage robust_x2        9000 python scripts/pretrain.py --only edsr_l_robust_x2 --steps 50000
+stage lpips2           3600 python scripts/train_lpips.py --steps 1500
 stage polish           3600 python scripts/train_polish.py --steps 20000
 stage espcn_x3         3600 python scripts/pretrain.py --only espcn_x3 --steps 30000
 stage robust_x3        7200 python scripts/pretrain.py --only edsr_l_robust_x3 --steps 40000
-stage edsr_m_x2        5400 python scripts/pretrain.py --only edsr_m_x2 --steps 40000
-stage edsr_m_x3        5400 python scripts/pretrain.py --only edsr_m_x3 --steps 40000
-stage edsr_m_x4        5400 python scripts/pretrain.py --only edsr_m_x4 --steps 40000
-stage rcan_x2          5400 python scripts/pretrain.py --only rcan_x2 --steps 40000
-stage rcan_x3          5400 python scripts/pretrain.py --only rcan_x3 --steps 40000
-stage rcan_x4          5400 python scripts/pretrain.py --only rcan_x4 --steps 40000
+stage edsr_m_x2        4500 python scripts/pretrain.py --only edsr_m_x2 --steps 30000
+stage rcan_x2          4500 python scripts/pretrain.py --only rcan_x2 --steps 30000
+stage edsr_m_x3        4500 python scripts/pretrain.py --only edsr_m_x3 --steps 30000
+stage rcan_x3          4500 python scripts/pretrain.py --only rcan_x3 --steps 30000
+stage edsr_m_x4        4500 python scripts/pretrain.py --only edsr_m_x4 --steps 30000
+stage rcan_x4          4500 python scripts/pretrain.py --only rcan_x4 --steps 30000
 stage espcn_x4         3600 python scripts/pretrain.py --only espcn_x4 --steps 30000
 echo "FLEET DONE $(date +%H:%M:%S)"

@@ -112,8 +112,16 @@ def main() -> None:
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
         opt_state = tx.init(params)
 
-        @jax.jit
-        def step(params, opt_state, r, lo, hi):
+        def one_step(carry, key):
+            # The pair stacks ride in the carry (device-resident): the
+            # original per-step host upload was ~4.7 MB over the tunneled
+            # ~30 MB/s link = ~6 s/step, 60x the compute time.
+            params, opt_state, r_d, lo_d, hi_d = carry
+            idx = jax.random.randint(key, (args.batch,), 0, n)
+            r = jnp.take(r_d, idx, axis=0)
+            lo = jnp.take(lo_d, idx, axis=0)
+            hi = jnp.take(hi_d, idx, axis=0)
+
             def loss_fn(p):
                 d_lo = distance_p(p, r, lo)
                 d_hi = distance_p(p, r, hi)
@@ -124,24 +132,35 @@ def main() -> None:
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, r_d, lo_d, hi_d), loss
+
+        chunk = 100
+
+        @jax.jit
+        def run_chunk(params, opt_state, r_d, lo_d, hi_d, key):
+            keys = jax.random.split(key, chunk)
+            (params, opt_state, *_), losses = jax.lax.scan(
+                one_step, (params, opt_state, r_d, lo_d, hi_d), keys
+            )
+            return params, opt_state, jnp.mean(losses)
 
         # baseline (random features) held-out accuracy
         dist_fn0 = jax.jit(lambda a, b, p=params: distance_p(p, a[None], b[None])[0])
         acc0 = ranking_accuracy(dist_fn0, h_refs, h_lows, h_highs)
 
-        rng = np.random.default_rng(0)
+        r_d = jnp.asarray(refs)
+        lo_d = jnp.asarray(lows)
+        hi_d = jnp.asarray(highs)
+        key = jax.random.PRNGKey(seed + 1)
         t0 = time.time()
         loss = float("nan")
-        for s in range(args.steps):
-            idx = rng.integers(0, n, args.batch)
-            params, opt_state, l = step(
-                params, opt_state,
-                jnp.asarray(refs[idx]), jnp.asarray(lows[idx]), jnp.asarray(highs[idx]),
-            )
-            if s % 200 == 0:
+        for c in range(max(args.steps // chunk, 1)):
+            key, sub = jax.random.split(key)
+            params, opt_state, l = run_chunk(params, opt_state, r_d, lo_d, hi_d, sub)
+            if (c * chunk) % 200 == 0:
                 loss = float(l)
-                print(f"[{net}] step {s}: loss {loss:.4f}", flush=True)
+                print(f"[{net}] step {c * chunk}: loss {loss:.6f}", flush=True)
 
         dist_fn1 = jax.jit(lambda a, b, p=params: distance_p(p, a[None], b[None])[0])
         acc1 = ranking_accuracy(dist_fn1, h_refs, h_lows, h_highs)
