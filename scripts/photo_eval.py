@@ -80,14 +80,34 @@ def main() -> None:
             continue
         ensemble = name.endswith("+")  # "edsr_l+" = geometric self-ensemble
         bare = name[:-1] if ensemble else name
-        trained = is_pretrained(bare, s, args.checkpoint_dir)
-        module, params = build_model(bare, s, args.checkpoint_dir)
-        if ensemble:
+        if bare == "fusion":
+            from srs_tpu.models.fusion import load_fusion
             from srs_tpu.models.sr_module import _dihedral_ensemble
 
-            out_b = _dihedral_ensemble(lambda x: module.apply(params, x), lr_b)
+            loaded = load_fusion(s, args.checkpoint_dir)
+            if loaded is None:
+                print(json.dumps({"model": name, "skipped": "no FUSION.json"}))
+                continue
+            members, weights = loaded
+            out_b = None
+            for m, w in zip(members, weights):
+                if m == "bicubic":
+                    y = resize_bicubic_up(lr_b, s)
+                else:
+                    module, params = build_model(m, s, args.checkpoint_dir)
+                    fn = lambda x, mo=module, pa=params: mo.apply(pa, x)
+                    y = _dihedral_ensemble(fn, lr_b) if ensemble else fn(lr_b)
+                out_b = y * w if out_b is None else out_b + y * w
+            trained = True
         else:
-            out_b = module.apply(params, lr_b)
+            trained = is_pretrained(bare, s, args.checkpoint_dir)
+            module, params = build_model(bare, s, args.checkpoint_dir)
+            if ensemble:
+                from srs_tpu.models.sr_module import _dihedral_ensemble
+
+                out_b = _dihedral_ensemble(lambda x: module.apply(params, x), lr_b)
+            else:
+                out_b = module.apply(params, lr_b)
         out = np.clip(np.asarray(out_b)[0], 0, 255)
         p = psnr(out, hr)
         row = {"model": name, "psnr": round(p, 3),

@@ -182,7 +182,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--block-size", type=int, default=512)
     pp.add_argument("--overlap", type=float, default=0.2)
     pp.add_argument("--provider", default="quality",
-                    choices=["quality", "fast", "hybrid", "bicubic", "zssr"])
+                    choices=["quality", "fast", "hybrid", "bicubic", "zssr",
+                             "fusion"])
     pp.add_argument("--blend", default="laplacian",
                     choices=["laplacian", "multi_band", "weighted", "feather",
                              "gradient_domain", "poisson"])

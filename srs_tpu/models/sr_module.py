@@ -195,6 +195,9 @@ class SuperResolutionModule:
         # drags a trained net's learned deblurring back toward bicubic
         # (held-out panel: net 31.58 dB vs net+IBP 30.83 dB).
         self._trained: Dict[Tuple[str, int], bool] = {}
+        # scale -> resolved [(member, weight)] for the fusion provider
+        # (None = not packaged / not enough trained members at that scale).
+        self._fusion_cache: Dict[int, Optional[list]] = {}
 
     # -- internals ---------------------------------------------------------
     def _net(
@@ -235,6 +238,33 @@ class SuperResolutionModule:
         if role == "polish":
             name, scale = "espcn_polish", 1
         return self._trained.get((name, scale), False)
+
+    def _fusion_for(self, scale: int) -> Optional[list]:
+        """Resolved [(member, weight)] for the fusion provider at ``scale``
+        or None. Members without a trained checkpoint are dropped and the
+        surviving weights renormalized (an untrained registry net is
+        bicubic-exact — keeping its fitted weight would double-count the
+        bicubic direction); fusion needs at least two trained nets to be
+        worth the extra passes."""
+        if scale in self._fusion_cache:
+            return self._fusion_cache[scale]
+        from .fusion import load_fusion
+
+        resolved = None
+        loaded = load_fusion(scale, self.config.checkpoint_dir)
+        if loaded is not None:
+            members, weights = loaded
+            kept = [
+                (m, w)
+                for m, w in zip(members, weights)
+                if m == "bicubic" or self._is_pretrained(m, scale)
+            ]
+            total = sum(w for _, w in kept)
+            n_trained = sum(1 for m, _ in kept if m != "bicubic")
+            if n_trained >= 2 and abs(total) > 0.25:
+                resolved = [(m, w / total) for m, w in kept]
+        self._fusion_cache[scale] = resolved
+        return resolved
 
     def route_for(self, image) -> Tuple[Optional[str], Optional[Any]]:
         """Degradation-aware quality-model override for THIS input (or
@@ -558,7 +588,11 @@ class SuperResolutionModule:
         degradation routing). Drives the pipeline's ladder factorization:
         an untrained step is exact bicubic, so the ladder prefers e.g.
         trained [2, 2] over zero-init [4] at 4x."""
-        role = "quality" if provider in ("quality", "seedream", "hybrid", "zssr") else "fast"
+        role = (
+            "quality"
+            if provider in ("quality", "seedream", "hybrid", "zssr", "fusion")
+            else "fast"
+        )
         name = model or (
             self.config.quality_model if role == "quality" else self.config.fast_model
         )
@@ -584,7 +618,31 @@ class SuperResolutionModule:
             # zssr params are trained (on the input itself) — no IBP.
             out = self._apply_fns[("zssr", scale)](tiles)
             return jnp.clip(out, 0, 255)
-        role = "quality" if provider in ("quality", "seedream", "hybrid", "zssr") else "fast"
+        if provider == "fusion" and model is None:
+            # ``model`` set means the degradation router overrode the tier
+            # for this damaged input — a single robust net, not the
+            # clean-photo fusion blend.
+            fused = self._fusion_for(scale)
+            if fused is not None:
+                se = (
+                    getattr(self.config, "self_ensemble", False)
+                    and tiles.shape[1] == tiles.shape[2]
+                )
+                out = None
+                for name, w in fused:
+                    if name == "bicubic":
+                        y = resize_bicubic_up(tiles, scale)
+                    else:
+                        net = self._net("quality", scale, model=name)
+                        y = _dihedral_ensemble(net, tiles) if se else net(tiles)
+                    out = y * w if out is None else out + y * w
+                return jnp.clip(out, 0, 255)
+            provider = "quality"  # not packaged at this scale
+        role = (
+            "quality"
+            if provider in ("quality", "seedream", "hybrid", "zssr", "fusion")
+            else "fast"
+        )
         net = self._net(role, scale, model=model)
         if getattr(self.config, "self_ensemble", False) and tiles.shape[1] == tiles.shape[2]:
             out = _dihedral_ensemble(net, tiles)

@@ -67,6 +67,7 @@ def degrade(
     scale: int,
     method: str = "area",
     key: Optional[jax.Array] = None,
+    clean_frac: float = 0.3,
 ) -> jax.Array:
     """HR -> LR degradation for training pairs.
 
@@ -81,8 +82,9 @@ def degrade(
 
     ``robust`` models real capture/compression damage (the lightweight
     real-ESRGAN-style ladder): random gaussian pre-blur (sigma 0.2-1.8)
-    + area downsample + random gaussian noise (sigma 0-8) per step,
-    with a 30% clean-passthrough fraction (plain area, no blur/noise) so
+    + area downsample + random gaussian noise (sigma 0-8) per image,
+    with a ``clean_frac`` clean-passthrough fraction (plain area, no
+    blur/noise; default 30%) so
     the robust tier stays ABOVE bicubic on clean photographs instead of
     hallucinating deconvolution everywhere (round-2 verdict: the
     all-degraded robust net scored -1.3 dB on a clean real photo).
@@ -91,20 +93,30 @@ def degrade(
     """
     if method == "robust":
         assert key is not None, "robust degradation needs a PRNG key"
-        kb, kn, kg = jax.random.split(key, 3)
-        clean = jax.random.uniform(kg, ()) < 0.3
-        sigma = jnp.where(
-            clean, 1e-3, jax.random.uniform(kb, (), minval=0.2, maxval=1.8)
-        )
-        xs = jnp.arange(-3, 4, dtype=jnp.float32)
-        w = jnp.exp(-0.5 * (xs / sigma) ** 2)
-        w = w / w.sum()
-        lr_img = downsample_area(_sep_blur7(hr, w), scale)
-        nsigma = jnp.where(
-            clean, 0.0, jax.random.uniform(kn, (), minval=0.0, maxval=8.0)
-        )
-        noise = jax.random.normal(jax.random.fold_in(kn, 1), lr_img.shape) * nsigma
-        return jnp.clip(lr_img + noise, 0.0, 255.0)
+
+        # Per-IMAGE parameter draws (vmap over the batch). A single draw
+        # for the whole batch made every step all-clean or all-degraded —
+        # and worse, made the *degraded eval* silently clean whenever its
+        # fixed key landed in the passthrough arm (the round-3 robust_x2
+        # panel scored psnr_net_degraded == psnr_net exactly).
+        def _one(img: jax.Array, k: jax.Array) -> jax.Array:
+            kb, kn, kg = jax.random.split(k, 3)
+            clean = jax.random.uniform(kg, ()) < clean_frac
+            sigma = jnp.where(
+                clean, 1e-3, jax.random.uniform(kb, (), minval=0.2, maxval=1.8)
+            )
+            xs = jnp.arange(-3, 4, dtype=jnp.float32)
+            w = jnp.exp(-0.5 * (xs / sigma) ** 2)
+            w = w / w.sum()
+            lr_img = downsample_area(_sep_blur7(img[None], w), scale)[0]
+            nsigma = jnp.where(
+                clean, 0.0, jax.random.uniform(kn, (), minval=0.0, maxval=8.0)
+            )
+            noise = jax.random.normal(jax.random.fold_in(kn, 1), lr_img.shape) * nsigma
+            return jnp.clip(lr_img + noise, 0.0, 255.0)
+
+        keys = jax.random.split(key, hr.shape[0])
+        return jax.vmap(_one)(hr, keys)
     if method == "area" and hr.shape[-3] == patch * scale:
         return downsample_area(hr, scale)
     return resize_bicubic(hr, patch, patch)
@@ -366,7 +378,11 @@ def eval_on_holdout(
     hr = jnp.asarray(make_corpus(n, size, seed))
     lh = size // scale
     hr = hr[:, : lh * scale, : lh * scale]  # crop to a scale multiple
-    lr_b = degrade(hr, lh, scale, degradation, key=jax.random.PRNGKey(7))
+    # clean_frac=0: the degraded panel must score the degraded arm only —
+    # the training-time passthrough fraction does not belong in the eval.
+    lr_b = degrade(
+        hr, lh, scale, degradation, key=jax.random.PRNGKey(7), clean_frac=0.0
+    )
 
     def psnr(pred):
         mse = jnp.mean((pred - hr) ** 2, axis=(1, 2, 3))

@@ -65,7 +65,7 @@ class PipelineConfig:
     max_concurrent: int = 30
     enable_qa: bool = True
     qa_device: str = "tpu"
-    provider: str = "quality"  # quality | fast | hybrid | bicubic | zssr
+    provider: str = "quality"  # quality | fast | hybrid | bicubic | zssr | fusion
     quality_model: str = "edsr_l"  # registry net for the quality tier (e.g. rcan)
     fast_model: str = "espcn"  # registry net for the fast tier
     # Probe each input's noise/blur and auto-swap the quality tier to the
@@ -302,8 +302,8 @@ class SuperResolutionPipeline:
 
     # -- stage 2 with failure recovery --------------------------------------
     _FALLBACK_PROVIDERS = {"quality": "fast", "hybrid": "fast", "zssr": "fast",
-                           "seedream": "fast", "fast": "bicubic",
-                           "veimagex": "bicubic"}
+                           "seedream": "fast", "fusion": "fast",
+                           "fast": "bicubic", "veimagex": "bicubic"}
 
     def _run_stage2(
         self,
@@ -649,7 +649,7 @@ class SuperResolutionPipeline:
             # swap the quality tier to the robust net when damaged
             # (models/routing.py; the reference routes only on failure).
             routed_model: Optional[str] = None
-            if self.config.provider in ("quality", "seedream", "hybrid"):
+            if self.config.provider in ("quality", "seedream", "hybrid", "fusion"):
                 try:
                     routed_model, est = self.sr_module.route_for(image)
                     if routed_model:
@@ -746,7 +746,7 @@ class SuperResolutionPipeline:
             # Instrumentation for MFU accounting (bench.py): what actually
             # ran in stage 2 after routing/degradation/resume.
             prov_used = _prov or self.config.provider
-            if prov_used in ("quality", "seedream", "hybrid", "zssr"):
+            if prov_used in ("quality", "seedream", "hybrid", "zssr", "fusion"):
                 model_used = routed_model or self.config.quality_model
             elif prov_used in ("fast", "veimagex"):
                 model_used = self.config.fast_model
