@@ -89,6 +89,16 @@ def main() -> None:
         i = argv.index("--grain")
         grain = float(argv[i + 1])
         del argv[i : i + 2]
+    init_from = None
+    if "--init-from" in argv:
+        i = argv.index("--init-from")
+        init_from = argv[i + 1]
+        del argv[i : i + 2]
+    lr = 2e-4
+    if "--lr" in argv:
+        i = argv.index("--lr")
+        lr = float(argv[i + 1])
+        del argv[i : i + 2]
     out_dir = argv[0] if argv else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "srs_tpu", "models", "checkpoints",
@@ -110,9 +120,9 @@ def main() -> None:
         t0 = time.time()
         params, loss = train_synthetic(
             name, scale, steps=steps, corpus_n=corpus_n, corpus_size=CORPUS_SIZE,
-            patch=48, batch=32, lr=2e-4, checkpoint_dir=out_dir,
+            patch=48, batch=32, lr=lr, checkpoint_dir=out_dir,
             scan_chunk=50, corpus=corpus, degradation=degradation,
-            hr_grain=grain,
+            hr_grain=grain, init_from=init_from,
             log_fn=lambda s, l, n=name, sc=scale: print(
                 f"[{n}_x{sc}] step {s}: loss {l:.5f}", flush=True)
             if s % 1000 == 0 else None,
@@ -136,6 +146,10 @@ def main() -> None:
         stats["mix"] = mix
         if grain:
             stats["hr_grain"] = grain
+        if init_from:
+            stats["init_from"] = init_from
+        if lr != 2e-4:
+            stats["lr"] = lr
         panel[f"{name}_x{scale}"] = stats
         print(f"[{name}_x{scale}] {json.dumps(stats)}", flush=True)
     with open(os.path.join(out_dir, "EVAL.json"), "w") as f:

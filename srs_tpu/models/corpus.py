@@ -411,30 +411,49 @@ def render_photo(seed: int, size: int = 256) -> np.ndarray:
 # Corpus family mixes. "proc" is the round-1/2 procedural corpus (kept as
 # the stable held-out eval distribution, train.eval_on_holdout); "v3"
 # (round 3) weights toward photo statistics: the generalization gap to
-# real photographs was the round-2 verdict's top finding.
-CORPUS_MIXES = ("proc", "v3")
+# real photographs was the round-2 verdict's top finding. "v4" = v3 with
+# a larger real-photo share and a JPEG round-trip applied to the final HR:
+# consumer photographs ARE JPEGs, so the HR truth an SR system is scored
+# against carries compression statistics the net must reproduce, and the
+# LR it receives is a downsample OF that compressed signal — a clean-HR
+# corpus mismatches both ends of the pair.
+CORPUS_MIXES = ("proc", "v3", "v4", "photo")
 
 
 def render_any(seed: int, size: int = 256, mix: str = "proc") -> np.ndarray:
     """One deterministic corpus image under a family mix."""
     if mix == "proc":
         return render_image(seed, size)
-    if mix != "v3":
+    if mix not in ("v3", "v4", "photo"):
         raise ValueError(f"unknown corpus mix {mix!r}; known: {CORPUS_MIXES}")
     rng = np.random.default_rng(seed ^ 0x5F375A86)
     u = rng.random()
-    if u < 0.30:  # real bundled photographs (never the held-out eval photo)
+    img = None
+    # "photo": real-photo mosaics only (fine-tune mix; 5 source photos,
+    # so diversity comes from crop/scale/dihedral augmentation).
+    photo_share = {"v4": 0.40, "photo": 1.01}.get(mix, 0.30)
+    if u < photo_share:  # real bundled photographs (never the held-out eval photo)
         from .photo_data import photo_mosaic
 
         img = photo_mosaic(seed, size)
-        if img is not None:
-            return img
-        u = 0.5  # no photos installed: fall through to render_photo
-    if u < 0.62:
-        return render_photo(seed, size)
-    if u < 0.72:
-        return render_natural(seed, size)
-    return render_image(seed, size)
+        if img is None:
+            u = 0.5  # no photos installed: fall through to render_photo
+    if img is None:
+        if u < 0.62:
+            img = render_photo(seed, size)
+        elif u < 0.72:
+            img = render_natural(seed, size)
+        else:
+            img = render_image(seed, size)
+    if mix in ("v4", "photo") and rng.random() < 0.55:
+        import cv2
+
+        q = int(rng.integers(70, 96))
+        ok, buf = cv2.imencode(".jpg", img[..., ::-1].astype(np.uint8),
+                               [int(cv2.IMWRITE_JPEG_QUALITY), q])
+        if ok:
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)[..., ::-1].astype(np.float32)
+    return np.ascontiguousarray(img, np.float32)
 
 
 def make_corpus(n: int, size: int = 256, seed: int = 0, mix: str = "proc") -> np.ndarray:

@@ -90,14 +90,23 @@ def is_pretrained(
 PACKAGED_CHECKPOINT_DIR = os.path.join(os.path.dirname(__file__), "checkpoints")
 
 
-def _try_load_checkpoint(name: str, scale: int, checkpoint_dir: Optional[str], module):
-    """User checkpoint_dir first, then the packaged pretrained weights.
+def _try_load_checkpoint(
+    name: str,
+    scale: int,
+    checkpoint_dir: Optional[str],
+    module,
+    fallback_packaged: bool = True,
+):
+    """User checkpoint_dir first, then the packaged pretrained weights
+    (``fallback_packaged=False`` restricts to checkpoint_dir only — the
+    fine-tune warm-start must fail loudly on a wrong path, not silently
+    adopt the packaged base).
 
     Restores against the module's abstract param tree (``jax.eval_shape``)
     so checkpoints written on one backend (the packaged ones were trained
     on TPU and embed TPU shardings) load on any — CPU tests, the virtual
     mesh, or a different chip."""
-    dirs = [checkpoint_dir, PACKAGED_CHECKPOINT_DIR]
+    dirs = [checkpoint_dir] + ([PACKAGED_CHECKPOINT_DIR] if fallback_packaged else [])
     for d in dirs:
         if not d:
             continue

@@ -252,6 +252,7 @@ def train_synthetic(
     degradation: str = "area",
     mix: str = "proc",
     hr_grain: float = 0.0,
+    init_from: Optional[str] = None,
 ):
     """Pretrain a registry model on the procedural corpus (corpus.py).
 
@@ -280,6 +281,19 @@ def train_synthetic(
     params = module.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, patch, patch, 3), jnp.float32)
     )
+    if init_from:
+        # Fine-tune mode: warm-start from a previously trained checkpoint
+        # (e.g. adapt a corpus-trained net on the photo-only mix).
+        from .registry import _try_load_checkpoint
+
+        loaded = _try_load_checkpoint(
+            model_name, scale, init_from, module, fallback_packaged=False
+        )
+        if loaded is None:
+            raise FileNotFoundError(
+                f"init_from={init_from!r}: no {model_name}_x{scale} checkpoint"
+            )
+        params = loaded
     schedule = optax.cosine_decay_schedule(lr, max(steps, 1), alpha=0.05)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
     opt_state = tx.init(params)
