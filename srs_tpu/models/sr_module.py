@@ -465,6 +465,7 @@ class SuperResolutionModule:
 
         # Stage 2: quality main with fallback to fast standard SR.
         prompt = PromptTemplateManager.build_prompt(category)
+        from_trained_quality = False
         if remaining > 1.0 + 1e-6:
             try:
                 r2 = self.retry_with_backoff(
@@ -474,6 +475,7 @@ class SuperResolutionModule:
                 current = r2.image
                 history.append({"stage": "quality_main", "scale": r2.scale_factor,
                                 "time": r2.processing_time})
+                from_trained_quality = bool(self.trained_scales("quality"))
             except Exception as e:
                 r2 = self.upscale_veimagex(
                     current, VeImageXTemplate.STANDARD_SR, remaining
@@ -482,17 +484,25 @@ class SuperResolutionModule:
                 history.append({"stage": "quality_fallback_fast", "scale": r2.scale_factor,
                                 "time": r2.processing_time, "reason": str(e)})
 
-        # Stage 3: 1.0x polish — skipped when espcn_polish has no trained
-        # weights (zero-init = identity: the pass would cost a net
-        # evaluation for nothing), and said so in the history.
+        # Stage 3: 1.0x polish — an SR-artifact-cleanup net trained on
+        # fast/bicubic-tier outputs (scripts/train_polish.py). Measured
+        # effect (held-out corpus, x2): espcn output +0.17 dB, bicubic
+        # +0.15, trained edsr_l output -0.07 — so it engages only when
+        # the main stage did NOT come from a trained quality net, and is
+        # skipped (with the reason in the history) otherwise. Also
+        # skipped when espcn_polish has no trained weights (zero-init =
+        # identity: the pass would cost a net evaluation for nothing).
         self._net("polish", 1)  # build -> populates the trained flag
-        if self._net_trained("polish", 1):
+        if not self._net_trained("polish", 1):
+            history.append({"stage": "fast_polish", "skipped": "untrained"})
+        elif from_trained_quality:
+            history.append({"stage": "fast_polish",
+                            "skipped": "no_gain_after_trained_quality"})
+        else:
             r3 = self.upscale_veimagex(current, VeImageXTemplate.FAST_SR, 1.0)
             current = r3.image
             history.append({"stage": "fast_polish", "scale": 1.0,
                             "time": r3.processing_time})
-        else:
-            history.append({"stage": "fast_polish", "skipped": "untrained"})
 
         x0, _, _ = self._to_batch(image)
         xn, _, _ = self._to_batch(current)
@@ -648,7 +658,9 @@ class SuperResolutionModule:
             out = _dihedral_ensemble(net, tiles)
         else:
             out = net(tiles)
-        if provider in ("hybrid",):
+        if provider in ("hybrid",) and not self._net_trained(role, scale, model=model):
+            # Polish is a cleanup net for fast/bicubic-tier outputs; after a
+            # trained quality net it costs -0.07 dB (see hybrid_upscale).
             polish = self._net("polish", 1)
             if self._net_trained("polish", 1):  # identity when untrained
                 out = polish(out)

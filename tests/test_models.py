@@ -148,6 +148,20 @@ def test_hybrid_ladder_history(img64):
     assert any(s.startswith("quality") for s in stages)
 
 
+def test_hybrid_polish_gated_by_producer(img64):
+    # Polish is a cleanup net for fast/bicubic-tier outputs (train_polish.py);
+    # after a trained quality net it measurably hurts, so the ladder must
+    # skip it (with the reason) when stage 2 used trained quality weights.
+    sr = SuperResolutionModule()
+    r = sr.hybrid_upscale(img64, target_scale=4.0)
+    hist = {h["stage"]: h for h in r.metadata["processing_history"]}
+    pol = hist["fast_polish"]
+    if sr.trained_scales("quality"):
+        assert pol.get("skipped") == "no_gain_after_trained_quality"
+    else:
+        assert "skipped" not in pol or pol["skipped"] == "untrained"
+
+
 def test_deterministic_seed_parity_semantics(img64):
     sr = SuperResolutionModule()
     s1 = sr._deterministic_seed(img64, "block_a")
