@@ -51,6 +51,7 @@ def main() -> None:
     ap.add_argument("--models", type=str,
                     default="espcn,edsr_m,rcan,edsr_l,edsr_l_robust")
     ap.add_argument("--checkpoint-dir", type=str, default=None)
+    ap.add_argument("--zssr-steps", type=int, default=150)
     args = ap.parse_args()
 
     import jax
@@ -98,6 +99,19 @@ def main() -> None:
                     fn = lambda x, mo=module, pa=params: mo.apply(pa, x)
                     y = _dihedral_ensemble(fn, lr_b) if ensemble else fn(lr_b)
                 out_b = y * w if out_b is None else out_b + y * w
+            trained = True
+        elif bare == "zssr":
+            # Per-image adaptation ceiling probe: fine-tune the quality
+            # prior on the LR input itself (never touches the HR truth).
+            from srs_tpu.models.sr_module import _dihedral_ensemble
+            from srs_tpu.models.train import zssr_finetune
+
+            prior = "edsr_l" if is_pretrained("edsr_l", s, args.checkpoint_dir) else "espcn"
+            module, params = build_model(prior, s, args.checkpoint_dir)
+            tuned = zssr_finetune(module, params, lr, scale=s,
+                                  steps=args.zssr_steps, lr=1e-4)
+            fn = lambda x: module.apply(tuned, x)
+            out_b = _dihedral_ensemble(fn, lr_b) if ensemble else fn(lr_b)
             trained = True
         else:
             trained = is_pretrained(bare, s, args.checkpoint_dir)

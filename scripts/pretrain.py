@@ -52,6 +52,12 @@ def load_corpus(n: int = CORPUS_N, size: int = CORPUS_SIZE, seed: int = 0,
     from srs_tpu.models.corpus import make_corpus
 
     tag = f"{mix}_" if mix != "proc" else ""
+    if mix != "proc":
+        # photo-bearing mixes: key the cache on the bundled-photo set so
+        # widening PHOTO_SOURCES invalidates stale corpora
+        from srs_tpu.models.photo_data import photo_paths
+
+        tag += f"p{len(photo_paths())}_"
     cache = f"/tmp/srs_corpus_{tag}{n}_{size}_{seed}.npy"
     if os.path.exists(cache):
         return np.load(cache)

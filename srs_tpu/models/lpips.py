@@ -68,6 +68,12 @@ class LPIPSMetric:
         self._nets: Dict[str, Any] = {}
         self._params: Dict[str, Any] = {}
         self._dist_fns: Dict[str, Any] = {}
+        if checkpoint_dir is None:
+            # Default to the packaged trained features (scripts/train_lpips.py
+            # ranking-trained on the distortion ladder) when they ship.
+            from .registry import PACKAGED_CHECKPOINT_DIR
+
+            checkpoint_dir = PACKAGED_CHECKPOINT_DIR
         self._checkpoint_dir = checkpoint_dir
 
     def _build(self, net: str):

@@ -29,6 +29,35 @@ PHOTO_SOURCES: List[Tuple[str, str]] = [
     ("pygame", "docs/generated/_images/camera_rgb.jpg"),
     ("pygame", "docs/generated/_images/camera_average.jpg"),
     ("pygame", "docs/generated/_images/camera_background.jpg"),
+    # Photographed material textures (round 3): real camera captures of
+    # wood/stone/metal/leather/grass surfaces shipped as simulator assets.
+    # Stationary textures carry the natural high-frequency statistics the
+    # 5 scene photos above are short on (sensor grain, organic micro-
+    # contrast), which is exactly what the SR nets must hallucinate.
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/wood1.png"),
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/white_marble_tile.png"),
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/white_marble_tile2.png"),
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/tile1.png"),
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/marble1.png"),
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/metal1.png"),
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/skin.png"),
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/darkwood.png"),
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/marble.png"),
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/foil.png"),
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/silverRaw.png"),
+    ("dm_control",
+     "locomotion/arenas/assets/outdoor_natural/OutdoorGrassFloorD.png"),
 ]
 
 _CACHE: Optional[List[np.ndarray]] = None

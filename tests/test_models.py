@@ -254,7 +254,19 @@ def test_lpips_metric_properties(img64):
     d1 = float(lp(a, noisy))
     d2 = float(lp(a, very_noisy))
     assert 0 < d1 < d2
-    # alex arch also works
+
+
+@pytest.mark.slow
+def test_lpips_alex_arch(img64):
+    # the alex tower is a second full feature-net compile — slow-marked;
+    # the vgg path above guards the metric's properties in the default run
+    from srs_tpu.models.lpips import LPIPSMetric
+
+    lp = LPIPSMetric()
+    a = jnp.asarray(img64)
+    noisy = jnp.asarray(
+        np.clip(img64 + np.random.default_rng(0).normal(0, 25, img64.shape), 0, 255).astype(np.float32)
+    )
     assert float(lp(a, noisy, net="alex")) > 0
 
 
