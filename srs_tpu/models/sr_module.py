@@ -216,7 +216,12 @@ class SuperResolutionModule:
                 name, scale, self.config.checkpoint_dir,
                 dtype=jnp.dtype(self.config.compute_dtype),
             )
-            self._apply_fns[key] = jax.jit(lambda x: module.apply(params, x))
+            # Pass params as an ARGUMENT (not a closed-over constant): the
+            # compiled program then depends only on the param tree's
+            # structure/shapes, so the persistent XLA cache survives
+            # retrained checkpoints and XLA never constant-folds weights.
+            jitted = jax.jit(module.apply)
+            self._apply_fns[key] = lambda x, _f=jitted, _p=params: _f(_p, x)
             self._trained[key] = self._is_pretrained(name, scale)
         return self._apply_fns[key]
 
@@ -589,7 +594,8 @@ class SuperResolutionModule:
             module, params, img, scale=scale, steps=steps, patch=patch,
             batch=batch, lr=lr,
         )
-        self._apply_fns[("zssr", scale)] = jax.jit(lambda x: module.apply(tuned, x))
+        _jitted = jax.jit(module.apply)
+        self._apply_fns[("zssr", scale)] = lambda x, _f=_jitted, _p=tuned: _f(_p, x)
 
     # -- batch device path (pipeline hot path) -----------------------------
     def trained_scales(self, provider: str = "quality", model: Optional[str] = None) -> set:
