@@ -96,8 +96,10 @@ def test_process_output_quality(input_png, tmp_path):
 
 
 def test_process_quality_provider(input_png, tmp_path):
+    # edsr_m: exercises the trained-quality path at half the CPU compile
+    # cost of the default edsr_l (which bench/system panels cover on TPU)
     out = str(tmp_path / "outq.png")
-    pipe = SuperResolutionPipeline(_cfg(provider="quality"))
+    pipe = SuperResolutionPipeline(_cfg(provider="quality", quality_model="edsr_m"))
     result = pipe.process(input_png, out)
     assert result.success, result.error_message
 
@@ -297,8 +299,10 @@ def test_16bit_tiff_output(input_png, tmp_path):
 
 def test_zssr_provider(input_png, tmp_path):
     out = str(tmp_path / "zssr.png")
+    # quality_model=espcn keeps the zssr prior small: the default edsr_l
+    # prior compiles a 16-block backward pass on CPU for no extra coverage
     pipe = SuperResolutionPipeline(
-        _cfg(provider="zssr", zssr_steps=8, ibp_steps=2)
+        _cfg(provider="zssr", zssr_steps=8, ibp_steps=2, quality_model="espcn")
     )
     result = pipe.process(input_png, out)
     assert result.success, result.error_message
