@@ -417,35 +417,44 @@ def render_photo(seed: int, size: int = 256) -> np.ndarray:
 # against carries compression statistics the net must reproduce, and the
 # LR it receives is a downsample OF that compressed signal — a clean-HR
 # corpus mismatches both ends of the pair.
-CORPUS_MIXES = ("proc", "v3", "v4", "photo")
+CORPUS_MIXES = ("proc", "v3", "v4", "photo", "p70")
 
 
 def render_any(seed: int, size: int = 256, mix: str = "proc") -> np.ndarray:
     """One deterministic corpus image under a family mix."""
     if mix == "proc":
         return render_image(seed, size)
-    if mix not in ("v3", "v4", "photo"):
+    if mix not in ("v3", "v4", "photo", "p70"):
         raise ValueError(f"unknown corpus mix {mix!r}; known: {CORPUS_MIXES}")
     rng = np.random.default_rng(seed ^ 0x5F375A86)
     u = rng.random()
     img = None
-    # "photo": real-photo mosaics only (fine-tune mix; 5 source photos,
-    # so diversity comes from crop/scale/dihedral augmentation).
-    photo_share = {"v4": 0.40, "photo": 1.01}.get(mix, 0.30)
+    took_photo = False
+    # "photo": real-photo mosaics only (fine-tune mix; diversity comes
+    # from crop/scale/dihedral augmentation). "p70" = rehearsal fine-tune
+    # mix: 70% photo mosaics + 30% CLEAN render_image replay — photo-only
+    # fine-tunes cost ~1.1 dB on the procedural eval panel (catastrophic
+    # forgetting); the replay arm pins the panel while the photo arm
+    # teaches natural statistics.
+    photo_share = {"v4": 0.40, "photo": 1.01, "p70": 0.70}.get(mix, 0.30)
     if u < photo_share:  # real bundled photographs (never the held-out eval photo)
         from .photo_data import photo_mosaic
 
         img = photo_mosaic(seed, size)
         if img is None:
             u = 0.5  # no photos installed: fall through to render_photo
+        else:
+            took_photo = True
     if img is None:
-        if u < 0.62:
+        if mix == "p70":  # replay arm: the eval-panel distribution itself
+            img = render_image(seed, size)
+        elif u < 0.62:
             img = render_photo(seed, size)
         elif u < 0.72:
             img = render_natural(seed, size)
         else:
             img = render_image(seed, size)
-    if mix in ("v4", "photo") and rng.random() < 0.55:
+    if (mix in ("v4", "photo") or (mix == "p70" and took_photo)) and rng.random() < 0.55:
         import cv2
 
         q = int(rng.integers(70, 96))

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 
-@pytest.mark.parametrize("mix", ["proc", "v3", "v4", "photo"])
+@pytest.mark.parametrize("mix", ["proc", "v3", "v4", "photo", "p70"])
 def test_mix_deterministic_and_bounded(mix):
     from srs_tpu.models.corpus import make_corpus
 
@@ -27,6 +27,23 @@ def test_unknown_mix_raises():
 
     with pytest.raises(ValueError):
         render_any(0, 64, mix="nope")
+
+
+def test_p70_replay_arm_is_clean_procedural():
+    """p70's non-photo arm must be the UNMODIFIED eval-panel distribution
+    (render_image, no JPEG round-trip) — that's the whole point of the
+    rehearsal mix (photo-only fine-tunes forget the procedural panel)."""
+    from srs_tpu.models.corpus import render_any, render_image
+
+    replayed = 0
+    for seed in range(24):
+        rng = np.random.default_rng(seed ^ 0x5F375A86)
+        if rng.random() >= 0.70:  # replay arm for this seed
+            np.testing.assert_array_equal(
+                render_any(seed, 96, mix="p70"), render_image(seed, 96)
+            )
+            replayed += 1
+    assert replayed >= 3
 
 
 def test_v4_jpeg_roundtrip_alters_some_images():
