@@ -79,8 +79,13 @@ def main() -> None:
         name = name.strip()
         if not name:
             continue
-        ensemble = name.endswith("+")  # "edsr_l+" = geometric self-ensemble
-        bare = name[:-1] if ensemble else name
+        # Row grammar: bare[+][:ibp]  — "+" = geometric self-ensemble,
+        # ":ibp" = area-consistent iterative back-projection (the eval
+        # degradation IS area, so this enforces the true fixed point).
+        ibp = name.endswith(":ibp")
+        stem = name[: -len(":ibp")] if ibp else name
+        ensemble = stem.endswith("+")  # "edsr_l+" = geometric self-ensemble
+        bare = stem[:-1] if ensemble else stem
         if bare == "fusion":
             from srs_tpu.models.fusion import load_fusion
             from srs_tpu.models.sr_module import _dihedral_ensemble
@@ -122,6 +127,10 @@ def main() -> None:
                 out_b = _dihedral_ensemble(lambda x: module.apply(params, x), lr_b)
             else:
                 out_b = module.apply(params, lr_b)
+        if ibp:
+            from srs_tpu.models.nets import back_project
+
+            out_b = back_project(out_b, lr_b, s, steps=8, degradation="area")
         out = np.clip(np.asarray(out_b)[0], 0, 255)
         p = psnr(out, hr)
         row = {"model": name, "psnr": round(p, 3),

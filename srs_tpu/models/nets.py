@@ -289,23 +289,45 @@ class RCAN(nn.Module):
 
 
 def back_project(
-    sr: jax.Array, lr: jax.Array, scale: int, steps: int = 10, strength: float = 0.5
+    sr: jax.Array,
+    lr: jax.Array,
+    scale: int,
+    steps: int = 10,
+    strength: float = 0.5,
+    degradation: str = "bicubic",
 ) -> jax.Array:
     """Iterative back-projection refinement (Irani & Peleg 1991).
 
     Enforces downsample-consistency: sr <- sr + strength * Up(lr - Down(sr)).
     This is the on-device analog of the reference's "inference steps" knob
     (super_resolution_module.py:70 num_inference_steps): more steps, better
-    LR-consistency. Down/Up are the cv2-parity bicubic kernels, so the
-    fixed point is exactly "an SR image whose bicubic downsample is the
-    input".
+    LR-consistency. ``degradation`` picks the Down operator the fixed point
+    enforces — it must match how the LR was actually produced:
+    "bicubic" = cv2-parity bicubic kernels; "area" = scale x scale box
+    average (exact cv2.INTER_AREA for integer scales, the corpus/eval
+    degradation protocol). A mismatched Down pulls the image toward the
+    wrong fixed point and costs PSNR instead of adding it.
     """
     from ..ops.resize import resize_bicubic
 
     lh, lw = lr.shape[-3], lr.shape[-2]
 
+    if degradation == "area":
+
+        def down(u: jax.Array) -> jax.Array:
+            b, h, w, c = u.shape
+            return u.reshape(b, lh, scale, lw, scale, c).mean(axis=(2, 4))
+
+    elif degradation == "bicubic":
+
+        def down(u: jax.Array) -> jax.Array:
+            return resize_bicubic(u, lh, lw)
+
+    else:
+        raise ValueError(f"unknown IBP degradation {degradation!r}")
+
     def body(_, u):
-        residual = lr.astype(jnp.float32) - resize_bicubic(u, lh, lw)
+        residual = lr.astype(jnp.float32) - down(u)
         return u + strength * resize_bicubic_up(residual, scale)
 
     return jax.lax.fori_loop(0, steps, body, sr.astype(jnp.float32))

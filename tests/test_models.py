@@ -83,6 +83,25 @@ def test_back_projection_improves_consistency(img64):
     assert e1 < e0
 
 
+def test_back_projection_area_enforces_box_fixed_point(img64):
+    """degradation='area' must drive the scale x scale box-average of the
+    output toward the LR input (the corpus/eval degradation protocol) —
+    bicubic-IBP enforces the WRONG fixed point for area-degraded LR."""
+    x = jnp.asarray(img64)[None]
+    sr0 = resize_bicubic_up(x, 2)
+
+    def box_down(u):
+        b, h, w, c = u.shape
+        return u.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+    sr = back_project(sr0, x, 2, steps=12, degradation="area")
+    e0 = float(jnp.mean((box_down(sr0) - x) ** 2))
+    e1 = float(jnp.mean((box_down(sr) - x) ** 2))
+    assert e1 < e0 * 0.25
+    with pytest.raises(ValueError):
+        back_project(sr0, x, 2, degradation="nope")
+
+
 def test_registry_build_and_cache():
     m1, p1 = build_model("espcn", 2)
     m2, p2 = build_model("espcn", 2)
