@@ -10,10 +10,12 @@ without network access:
   per-patch NSS features (GGD fit of MSCN coefficients + AGGD fits of the
   four orientation products, at two scales = 36-D), scored as the
   Mahalanobis-type distance between the test feature Gaussian and a
-  *pristine* multivariate Gaussian. The pristine model is fitted on the
-  procedural corpus (srs_tpu.models.corpus — sharp, artifact-free
-  renders) by ``scripts/fit_qa_models.py`` and packaged as
-  ``qa/data/niqe_pristine.npz``.
+  *pristine* multivariate Gaussian. The pristine model is fitted on
+  real bundled photographs (multi-scale crops of the 17-source pool,
+  holdout excluded) plus the crisp half of ``render_photo`` scenes by
+  ``scripts/fit_qa_models.py`` and packaged as
+  ``qa/data/niqe_pristine.npz`` with a capped affine calibration so a
+  clean photograph scores inside the reference "good" band.
 - :func:`brisque_features` / :func:`brisque_score` — BRISQUE's 36-D
   feature vector scored by a ridge regressor trained on procedurally
   distorted corpus images (blur/noise/JPEG ladders with severity-derived

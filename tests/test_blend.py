@@ -91,7 +91,9 @@ def test_fusion_suppresses_brightness_seam(rng):
 
 
 def test_dct_matches_scipy(rng):
-    for n in (6, 7, 8, 9):
+    # one even + one odd size covers both DCT padding paths; each size is
+    # a fresh XLA compile, which dominates this test's wall time on CPU
+    for n in (7, 8):
         x = rng.random((n, 5), dtype=np.float32)
         ref = dct(np.asarray(x, np.float64), type=2, axis=0)
         got = np.asarray(B._dct2(jnp.asarray(x), 0))

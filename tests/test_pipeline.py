@@ -297,7 +297,12 @@ def test_16bit_tiff_output(input_png, tmp_path):
     assert back.max() > 255
 
 
+@pytest.mark.slow
 def test_zssr_provider(input_png, tmp_path):
+    # pipeline-level zssr e2e compiles the training backward pass on CPU
+    # (~3 min); the algorithm is guarded by the default-run
+    # test_zssr_improves_or_matches_bicubic and provider dispatch by
+    # test_sr_module_providers
     out = str(tmp_path / "zssr.png")
     # quality_model=espcn keeps the zssr prior small: the default edsr_l
     # prior compiles a 16-block backward pass on CPU for no extra coverage
