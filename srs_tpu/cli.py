@@ -208,7 +208,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--self-ensemble", action="store_true",
                     help="average the net over the 8 dihedral tile "
                          "transforms (EDSR '+': ~+0.3 dB, 8x SR compute)")
-    pp.add_argument("--prompt", default=None)
+    pp.add_argument("--prompt", default=None,
+                    help="prompt text; a template category name (beauty, 3c, "
+                    "food, ...) steers the conditioned polish")
     pp.add_argument("--no-qa", action="store_true")
     pp.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace into DIR")

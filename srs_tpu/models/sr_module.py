@@ -381,10 +381,13 @@ class SuperResolutionModule:
         seed: Optional[int] = None,
         num_inference_steps: int = 30,
         block_id: str = "",
+        category: Optional[str] = None,
     ) -> SuperResolutionResult:
-        """Quality provider (reference: sr:561-711). The prompt selects a
-        conditioning category (metadata only for the unconditioned nets);
-        steps drive back-projection refinement; strength is its step size."""
+        """Quality provider (reference: sr:561-711). ``category`` applies
+        the trained FiLM-conditioned polish after the SR ladder — the
+        prompt steers the pixels, as the reference's prompt steers its
+        diffusion output (sr:625-640); steps drive back-projection
+        refinement; strength is its step size."""
         t0 = time.time()
         x, was_pil, had_batch = self._to_batch(image)
         if seed is None:
@@ -399,11 +402,14 @@ class SuperResolutionModule:
                 strength=float(np.clip(strength, 0.05, 1.0)),
             )
         out = jnp.clip(out, 0, 255)
+        conditioned = out
+        if category is not None:
+            conditioned = self._conditioned(out, category)
         return SuperResolutionResult(
-            image=self._from_batch(out, was_pil, had_batch),
+            image=self._from_batch(conditioned, was_pil, had_batch),
             original_size=(int(x.shape[2]), int(x.shape[1])),
-            upscaled_size=(int(out.shape[2]), int(out.shape[1])),
-            scale_factor=float(out.shape[1] / x.shape[1]),
+            upscaled_size=(int(conditioned.shape[2]), int(conditioned.shape[1])),
+            scale_factor=float(conditioned.shape[1] / x.shape[1]),
             provider=UpscaleProvider.SEEDREAM.value,
             processing_time=time.time() - t0,
             metadata={
@@ -412,6 +418,8 @@ class SuperResolutionModule:
                 "steps": num_inference_steps,
                 "strength": strength,
                 "model": self.config.quality_model,
+                "conditioned": conditioned is not out,
+                "category": category,
             },
         )
 
@@ -475,7 +483,7 @@ class SuperResolutionModule:
             try:
                 r2 = self.retry_with_backoff(
                     self.upscale_seedream, current, prompt, 0.5, remaining,
-                    None, 30, block_id,
+                    None, 30, block_id, category=category,
                 )
                 current = r2.image
                 history.append({"stage": "quality_main", "scale": r2.scale_factor,
@@ -533,6 +541,7 @@ class SuperResolutionModule:
                 cfg.target_scale,
                 cfg.seed,
                 cfg.num_inference_steps,
+                category=cfg.category,
             )
         if provider in (UpscaleProvider.VEIMAGEX, UpscaleProvider.FAST):
             return self.upscale_veimagex(
@@ -621,19 +630,22 @@ class SuperResolutionModule:
         provider: str = "quality",
         steps: int = 0,
         model: Optional[str] = None,
+        category: Optional[str] = None,
     ) -> jax.Array:
         """Jit-friendly batch path: [N,B,B,C] float32 [0,255] -> upscaled.
 
         This is what the pipeline calls on the device-resident tile batch;
         the PIL-facing methods above exist for API parity and single-image
         use. ``model`` overrides the quality/fast registry pick (the
-        degradation router's per-input selection)."""
+        degradation router's per-input selection). ``category`` (a prompt
+        template key) applies the trained conditioned polish after SR —
+        the prompt-steering path (models/conditioning.py); None skips it."""
         if provider == "bicubic":
-            return resize_bicubic_up(tiles, scale)
+            return self._conditioned(resize_bicubic_up(tiles, scale), category)
         if provider == "zssr" and ("zssr", scale) in self._apply_fns:
             # zssr params are trained (on the input itself) — no IBP.
             out = self._apply_fns[("zssr", scale)](tiles)
-            return jnp.clip(out, 0, 255)
+            return self._conditioned(jnp.clip(out, 0, 255), category)
         if provider == "fusion" and model is None:
             # ``model`` set means the degradation router overrode the tier
             # for this damaged input — a single robust net, not the
@@ -652,7 +664,7 @@ class SuperResolutionModule:
                         net = self._net("quality", scale, model=name)
                         y = _dihedral_ensemble(net, tiles) if se else net(tiles)
                     out = y * w if out is None else out + y * w
-                return jnp.clip(out, 0, 255)
+                return self._conditioned(jnp.clip(out, 0, 255), category)
             provider = "quality"  # not packaged at this scale
         role = (
             "quality"
@@ -672,4 +684,23 @@ class SuperResolutionModule:
                 out = polish(out)
         if steps > 0 and not self._net_trained(role, scale, model=model):
             out = back_project(out, tiles, scale, steps=steps)
-        return jnp.clip(out, 0, 255)
+        return self._conditioned(jnp.clip(out, 0, 255), category)
+
+    def _conditioned(
+        self, out: jax.Array, category: Optional[str]
+    ) -> jax.Array:
+        """Prompt-conditioned polish (models/conditioning.py) — the path
+        by which a prompt category changes output pixels (reference
+        analog: prompt-steered diffusion, sr:625-640). No-op when no
+        category is requested or no trained cond_polish is packaged."""
+        if category is None:
+            return out
+        from .conditioning import (build_cond_polish, cond_vector,
+                                   is_cond_polish_trained)
+
+        if not is_cond_polish_trained(self.config.checkpoint_dir):
+            return out
+        module, params, _ = build_cond_polish(
+            self.config.checkpoint_dir, jnp.dtype(self.config.compute_dtype)
+        )
+        return jnp.clip(module.apply(params, out, cond_vector(category)), 0, 255)

@@ -75,6 +75,11 @@ class PipelineConfig:
     # Geometric self-ensemble over the 8 dihedral tile transforms (EDSR's
     # "+" mode): +0.3-0.4 dB on photographs for 8x SR-stage compute.
     self_ensemble: bool = False
+    # Prompt template category (models/prompts.py) applied as a FiLM
+    # conditioning vector by the trained cond_polish after the SR ladder
+    # (models/conditioning.py) — the reference's prompt-steering analog.
+    # None = unconditioned (default; identical to pre-conditioning runs).
+    prompt_category: Optional[str] = None
     zssr_steps: int = 150  # self-supervised finetune steps for provider=zssr
     ibp_steps: int = 8  # back-projection refinement steps on the tile batch
     content_aware: bool = False  # seam placement avoids faces/text/saliency
@@ -256,6 +261,7 @@ class SuperResolutionPipeline:
         ladder: List[int],
         provider: Optional[str] = None,
         model: Optional[str] = None,
+        category: Optional[str] = None,
     ) -> jnp.ndarray:
         """Run the net ladder over the tile batch, chunked to bound HBM.
 
@@ -263,9 +269,11 @@ class SuperResolutionPipeline:
         the whole ladder runs as one sharded program (per-device memory is
         batch/N_data, so host-side chunking is unnecessary).
         ``provider`` overrides the configured provider (the degradation
-        ladder's fallback-engine path)."""
+        ladder's fallback-engine path); ``category`` overrides the
+        configured prompt-conditioning category (per-job prompt)."""
         assert self.sr_module is not None
         provider_name = provider or self.config.provider
+        cat = category if category is not None else self.config.prompt_category
         if self.dispatcher is not None and provider_name != "bicubic":
             provider = provider_name
             steps = self.config.ibp_steps
@@ -273,15 +281,17 @@ class SuperResolutionPipeline:
             def ladder_fn(x):
                 cur = x
                 for si, s in enumerate(ladder):
+                    last = si == len(ladder) - 1
                     cur = self.sr_module.upscale_tiles(
                         cur, s, provider=provider,
-                        steps=steps if si == len(ladder) - 1 else 0,
+                        steps=steps if last else 0,
                         model=model,
+                        category=cat if last else None,
                     )
                 return cur
 
             return self.dispatcher.run_tiled(
-                ladder_fn, tiles, key=f"ladder{ladder}{provider}{steps}{model}"
+                ladder_fn, tiles, key=f"ladder{ladder}{provider}{steps}{model}{cat}"
             )
         n = int(tiles.shape[0])
         final_block = int(tiles.shape[1]) * int(np.prod(ladder)) if ladder else int(tiles.shape[1])
@@ -293,9 +303,11 @@ class SuperResolutionPipeline:
         for i in range(0, n, chunk):
             cur = tiles[i : i + chunk]
             for si, s in enumerate(ladder):
-                steps = self.config.ibp_steps if si == len(ladder) - 1 else 0
+                last = si == len(ladder) - 1
                 cur = self.sr_module.upscale_tiles(
-                    cur, s, provider=provider_name, steps=steps, model=model
+                    cur, s, provider=provider_name,
+                    steps=self.config.ibp_steps if last else 0, model=model,
+                    category=cat if last else None,
                 )
             outs.append(cur)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -314,6 +326,7 @@ class SuperResolutionPipeline:
         tasks: List[Task],
         max_attempts: int = 10,
         model: Optional[str] = None,
+        category: Optional[str] = None,
     ):
         """Run the SR batch with the scheduler's retry -> degradation ladder
         wired to REAL device compute (reference: agent_scheduler.py:752-887).
@@ -331,7 +344,8 @@ class SuperResolutionPipeline:
         for attempt in range(max_attempts):
             try:
                 up_tiles = self._upscale_batch(
-                    tiles, ladder, provider=provider, model=model
+                    tiles, ladder, provider=provider, model=model,
+                    category=category,
                 )
                 up_tiles.block_until_ready()
                 return up_tiles, layout, ladder, provider
@@ -630,6 +644,14 @@ class SuperResolutionPipeline:
     ) -> PipelineResult:
         start = time.time()
         stage_times: Dict[str, float] = {}
+        # A prompt naming a template category steers this job's conditioned
+        # polish (reference: process(prompt=...) feeds the diffusion
+        # provider, main.py:299-340); other strings are metadata-only.
+        from .models.prompts import PromptTemplateManager
+
+        job_category = (
+            prompt if prompt in PromptTemplateManager.TEMPLATES else None
+        )
         self._ensure_engine()
         if self._stage_sem is None:
             # Batch mode shares one cancel event across worker threads; a
@@ -729,11 +751,13 @@ class SuperResolutionPipeline:
                 except Exception:  # noqa: BLE001 - partial resume is best-effort
                     logger.warning("partial resume failed; recomputing batch")
                     up_tiles, layout, ladder, _prov = self._run_stage2(
-                        image, tiles, ladder, layout, tasks, model=routed_model
+                        image, tiles, ladder, layout, tasks,
+                        model=routed_model, category=job_category,
                     )
             else:
                 up_tiles, layout, ladder, _prov = self._run_stage2(
-                    image, tiles, ladder, layout, tasks, model=routed_model
+                    image, tiles, ladder, layout, tasks,
+                    model=routed_model, category=job_category,
                 )
             net_scale = int(np.prod(ladder)) if ladder else 1
             if recomputed and self.config.enable_checkpoint:

