@@ -18,4 +18,7 @@ stage() {  # name timeout_s cmd...
 }
 
 stage cond_polish 5400 python scripts/train_cond.py --steps 20000
+# lpips retry: round3c's lpips stage can lose its 90-min budget to host
+# contention during pair building; stage() skips this when it succeeded.
+stage lpips 7200 python scripts/train_lpips.py --steps 1500
 echo "ROUND3E DONE $(date +%H:%M:%S)"

@@ -42,6 +42,8 @@ def _run_pipeline(image, cfg_state: dict) -> None:
             provider=cfg_state["model_version"],
             quality_model=cfg_state.get("quality_model", "edsr_l"),
             blend_method=cfg_state["fusion_algorithm"],
+            # industry template steers the conditioned polish
+            prompt_category=cfg_state.get("prompt_category"),
         )
         pipe = SuperResolutionPipeline(cfg)
         set_state("_pipeline", pipe)
