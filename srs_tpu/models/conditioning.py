@@ -12,10 +12,11 @@ Conditioning vector ``c = (denoise, deblur, deblock)`` in [0, 1]:
 
 - **training** (scripts/train_cond.py): inputs are HR patches distorted
   with a synthetic mix — gaussian noise sigma = 25*denoise, gaussian blur
-  sigma = 1.6*deblur, JPEG quality = 95 - 55*deblock — and ``c`` is the
-  *applied* distortion strength, so the net learns the conditional
-  restoration p(clean | distorted, c). A clean fraction (c = 0, target =
-  input) anchors zero conditioning at identity.
+  sigma = 1.6*deblur, JPEG luma quantization-table scale = 2.5*deblock
+  (1.0 ~= quality 50; see jpeg_blockiness) — and ``c`` is the *applied*
+  distortion strength, so the net learns the conditional restoration
+  p(clean | distorted, c). A clean fraction (c = 0, target = input)
+  anchors zero conditioning at identity.
 - **serving**: the prompt category maps to a fixed, documented ``c``
   (CATEGORY_CONDITIONING below) derived from each template's
   quality/negative strings; `SuperResolutionModule.upscale` applies the
@@ -29,7 +30,6 @@ checkpoint lands.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -118,7 +118,6 @@ class CondPolish(nn.Module):
 
 
 _CACHE: Dict[Tuple[Optional[str], str], Tuple[Any, Any, bool]] = {}
-CHECKPOINT_NAME = "cond_polish_x1"
 
 
 def clear_cond_cache() -> None:
@@ -144,31 +143,12 @@ def build_cond_polish(
                 jnp.zeros((COND_DIM,), jnp.float32),
             )
 
-    params, trained = None, False
-    from .registry import PACKAGED_CHECKPOINT_DIR
+    from .registry import _try_load_checkpoint
 
-    for d in (checkpoint_dir, PACKAGED_CHECKPOINT_DIR):
-        if not d:
-            continue
-        path = os.path.join(os.path.expanduser(d), CHECKPOINT_NAME)
-        if not os.path.isdir(path):
-            continue
-        try:
-            import orbax.checkpoint as ocp
-
-            abstract = jax.eval_shape(_init)
-            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
-            abstract = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
-                abstract,
-            )
-            params = ocp.StandardCheckpointer().restore(
-                os.path.abspath(path), abstract
-            )
-            trained = True
-            break
-        except Exception:
-            continue
+    params = _try_load_checkpoint(
+        "cond_polish", 1, checkpoint_dir, module, init_fn=_init
+    )
+    trained = params is not None
     if params is None:
         params = _init()
     _CACHE[key] = (module, params, trained)

@@ -96,6 +96,7 @@ def _try_load_checkpoint(
     checkpoint_dir: Optional[str],
     module,
     fallback_packaged: bool = True,
+    init_fn: Optional[Callable[[], Any]] = None,
 ):
     """User checkpoint_dir first, then the packaged pretrained weights
     (``fallback_packaged=False`` restricts to checkpoint_dir only — the
@@ -105,7 +106,15 @@ def _try_load_checkpoint(
     Restores against the module's abstract param tree (``jax.eval_shape``)
     so checkpoints written on one backend (the packaged ones were trained
     on TPU and embed TPU shardings) load on any — CPU tests, the virtual
-    mesh, or a different chip."""
+    mesh, or a different chip. ``init_fn`` overrides the standard
+    single-image-input init for modules with extra call arguments (e.g.
+    the conditioned polish)."""
+    if init_fn is None:
+        def init_fn():
+            return module.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+            )
+
     dirs = [checkpoint_dir] + ([PACKAGED_CHECKPOINT_DIR] if fallback_packaged else [])
     for d in dirs:
         if not d:
@@ -116,11 +125,7 @@ def _try_load_checkpoint(
         try:
             import orbax.checkpoint as ocp
 
-            abstract = jax.eval_shape(
-                lambda: module.init(
-                    jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
-                )
-            )
+            abstract = jax.eval_shape(init_fn)
             sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
             abstract = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),

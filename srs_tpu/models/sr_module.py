@@ -695,12 +695,17 @@ class SuperResolutionModule:
         category is requested or no trained cond_polish is packaged."""
         if category is None:
             return out
-        from .conditioning import (build_cond_polish, cond_vector,
-                                   is_cond_polish_trained)
+        from .conditioning import build_cond_polish, cond_vector
 
-        if not is_cond_polish_trained(self.config.checkpoint_dir):
-            return out
-        module, params, _ = build_cond_polish(
+        module, params, trained = build_cond_polish(
             self.config.checkpoint_dir, jnp.dtype(self.config.compute_dtype)
         )
-        return jnp.clip(module.apply(params, out, cond_vector(category)), 0, 255)
+        if not trained:
+            return out
+        key = ("cond_polish", 1)
+        if key not in self._apply_fns:
+            # params as an ARGUMENT, matching _net: the persistent XLA
+            # cache survives retrained checkpoints.
+            jitted = jax.jit(module.apply)
+            self._apply_fns[key] = lambda x, c, _f=jitted, _p=params: _f(_p, x, c)
+        return jnp.clip(self._apply_fns[key](out, cond_vector(category)), 0, 255)

@@ -288,6 +288,8 @@ class SuperResolutionPipeline:
                         model=model,
                         category=cat if last else None,
                     )
+                if not ladder:  # no net pass: conditioning still applies
+                    cur = self.sr_module._conditioned(cur, cat)
                 return cur
 
             return self.dispatcher.run_tiled(
@@ -309,6 +311,8 @@ class SuperResolutionPipeline:
                     steps=self.config.ibp_steps if last else 0, model=model,
                     category=cat if last else None,
                 )
+            if not ladder:  # no net pass: conditioning still applies
+                cur = self.sr_module._conditioned(cur, cat)
             outs.append(cur)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
@@ -483,10 +487,11 @@ class SuperResolutionPipeline:
     # -- SR checkpoint/resume (reference: main.py:299-304) ------------------
     def _resume_key(
         self, image_hash: str, ladder: List[int], layout,
-        model: Optional[str] = None,
+        model: Optional[str] = None, category: Optional[str] = None,
     ) -> Optional[str]:
         """Content-addressed key for the upscaled-tile store: any knob that
-        changes the SR output changes the key."""
+        changes the SR output changes the key (incl. the conditioning
+        category — a conditioned run must not serve another run's tiles)."""
         if not self.config.enable_checkpoint:
             return None
         import hashlib as _hashlib
@@ -495,6 +500,7 @@ class SuperResolutionPipeline:
             f"{image_hash}:{self.config.provider}:{ladder}:{self.config.ibp_steps}"
             f":{layout.block}:{layout.overlap}:{self.config.zssr_steps}"
             f":{self.config.seedream_steps}:{model or self.config.quality_model}"
+            f":{category if category is not None else self.config.prompt_category}"
         )
         return "sr-" + _hashlib.md5(sig.encode()).hexdigest()
 
@@ -719,7 +725,9 @@ class SuperResolutionPipeline:
             # Mid-run resume: probe the tile store for already-upscaled
             # tiles from a killed previous run (reference: main.py:299-304
             # probed; restore was a TODO there — here it works).
-            resume_key = self._resume_key(image_hash, ladder, layout, routed_model)
+            resume_key = self._resume_key(
+                image_hash, ladder, layout, routed_model, job_category
+            )
             cached_sr = self._probe_resume(resume_key, layout.num_tiles)
             recomputed = True
             _prov = None
@@ -736,7 +744,7 @@ class SuperResolutionPipeline:
                     missing = [i for i in range(layout.num_tiles) if i not in cached_sr]
                     up_missing = self._upscale_batch(
                         jnp.take(tiles, jnp.asarray(missing), axis=0), ladder,
-                        model=routed_model,
+                        model=routed_model, category=job_category,
                     )
                     up_missing.block_until_ready()
                     parts: List[np.ndarray] = [None] * layout.num_tiles  # type: ignore[list-item]
@@ -762,7 +770,9 @@ class SuperResolutionPipeline:
             net_scale = int(np.prod(ladder)) if ladder else 1
             if recomputed and self.config.enable_checkpoint:
                 self._checkpoint_sr(
-                    self._resume_key(image_hash, ladder, layout, routed_model),
+                    self._resume_key(
+                        image_hash, ladder, layout, routed_model, job_category
+                    ),
                     up_tiles,
                 )
             self._book_done(tasks)

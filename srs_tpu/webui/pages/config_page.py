@@ -65,7 +65,12 @@ def render() -> None:
         ["laplacian", "multi_band", "weighted", "feather", "gradient_domain", "poisson"],
         index=0,
     )
-    category = st.selectbox("Industry template", PromptTemplateManager.list_categories())
+    cats = PromptTemplateManager.list_categories()
+    cur_cat = get_state("prompt_category", "general")
+    category = st.selectbox(
+        "Industry template", cats,
+        index=cats.index(cur_cat) if cur_cat in cats else cats.index("general"),
+    )
     set_state("model_version", model)
     set_state("quality_model", qnet)
     set_state("fusion_algorithm", fusion)

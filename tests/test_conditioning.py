@@ -94,7 +94,7 @@ def test_upscale_tiles_category_is_noop_when_untrained(img64):
     from srs_tpu.config import ModelConfig
     from srs_tpu.models.sr_module import SuperResolutionModule
 
-    sr = SuperResolutionModule(ModelConfig(checkpoint_dir="/nonexistent"))
+    sr = SuperResolutionModule(config=ModelConfig(checkpoint_dir="/nonexistent"))
     tiles = jnp.asarray(np.stack([img64[:32, :32]]))
     base = np.asarray(sr.upscale_tiles(tiles, 2, provider="bicubic"))
     cond = np.asarray(
