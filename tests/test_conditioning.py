@@ -90,6 +90,35 @@ def test_conditioning_changes_output_when_trained(img64):
     assert np.abs(out_zero - out_3c).max() > 0.01
 
 
+def test_trained_conditioning_restores_matching_distortion(img64):
+    """With the packaged checkpoint, the conditioning vector must steer
+    restoration: polishing a noisy image with its true c beats both the
+    unpolished input and blind zero conditioning (skipped until the
+    round-3e fleet packages cond_polish_x1)."""
+    module, params, trained = build_cond_polish()
+    if not trained:
+        pytest.skip("no packaged cond_polish checkpoint")
+    rng = np.random.default_rng(5)
+    clean = jnp.asarray(img64)
+    noisy = jnp.asarray(
+        np.clip(img64 + rng.normal(0, 15, img64.shape), 0, 255).astype(np.float32)
+    )
+
+    def psnr(a, b):
+        mse = float(jnp.mean((jnp.clip(a, 0, 255) - b) ** 2))
+        return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+    c_true = jnp.asarray([15.0 / 25.0, 0.0, 0.0], jnp.float32)
+    restored = module.apply(params, noisy, c_true)
+    blind = module.apply(params, noisy, jnp.zeros((COND_DIM,)))
+    p_in, p_res, p_blind = psnr(noisy, clean), psnr(restored, clean), psnr(blind, clean)
+    assert p_res > p_in + 1.0, (p_in, p_res)
+    assert p_res > p_blind, (p_blind, p_res)
+    # clean passthrough: zero conditioning must not damage a clean image
+    p_clean = psnr(module.apply(params, clean, jnp.zeros((COND_DIM,))), clean)
+    assert p_clean > 45.0, p_clean
+
+
 def test_upscale_tiles_category_is_noop_when_untrained(img64):
     from srs_tpu.config import ModelConfig
     from srs_tpu.models.sr_module import SuperResolutionModule
