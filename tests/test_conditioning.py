@@ -119,6 +119,32 @@ def test_trained_conditioning_restores_matching_distortion(img64):
     assert p_clean > 45.0, p_clean
 
 
+def test_pipeline_prompt_steers_output_when_trained(img64, tmp_path):
+    """process(prompt=<category>) must change the pixels once the
+    conditioned polish is packaged (reference: prompt feeds the diffusion
+    provider, main.py:299-340). Skipped until round-3e packages it."""
+    if not build_cond_polish()[2]:
+        pytest.skip("no packaged cond_polish checkpoint")
+    import cv2
+
+    from srs_tpu.pipeline import PipelineConfig, SuperResolutionPipeline
+
+    inp = str(tmp_path / "in.png")
+    cv2.imwrite(inp, cv2.cvtColor(img64.astype(np.uint8), cv2.COLOR_RGB2BGR))
+    cfg = PipelineConfig(
+        block_size=64, target_resolution="128x128", provider="fast",
+        enable_qa=False,
+    )
+    pipe = SuperResolutionPipeline(cfg)
+    out_a = str(tmp_path / "plain.png")
+    out_b = str(tmp_path / "cond.png")
+    assert pipe.process(inp, out_a).success
+    assert pipe.process(inp, out_b, prompt="3c").success
+    a = cv2.imread(out_a).astype(np.float32)
+    b = cv2.imread(out_b).astype(np.float32)
+    assert np.abs(a - b).max() > 0.5, "prompt category did not change pixels"
+
+
 def test_upscale_tiles_category_is_noop_when_untrained(img64):
     from srs_tpu.config import ModelConfig
     from srs_tpu.models.sr_module import SuperResolutionModule
