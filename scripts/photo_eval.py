@@ -52,6 +52,11 @@ def main() -> None:
                     default="espcn,edsr_m,rcan,edsr_l,edsr_l_robust")
     ap.add_argument("--checkpoint-dir", type=str, default=None)
     ap.add_argument("--zssr-steps", type=int, default=150)
+    ap.add_argument("--degrade", choices=["none", "noise", "blur"],
+                    default="none",
+                    help="damage the LR input like real capture defects "
+                    "(the degradation router's triggers): the robust-tier "
+                    "acceptance panel — both tiers must beat bicubic here")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +75,12 @@ def main() -> None:
     s = args.scale
     lr = cv2.resize(hr, (hr.shape[1] // s, hr.shape[0] // s),
                     interpolation=cv2.INTER_AREA)
+    if args.degrade == "noise":  # true sensor-noise level that trips the router
+        lr = np.clip(
+            lr + np.random.default_rng(0).normal(0, 6, lr.shape), 0, 255
+        ).astype(np.float32)
+    elif args.degrade == "blur":
+        lr = cv2.GaussianBlur(lr, (0, 0), 1.2)
     lr_b = jnp.asarray(lr, jnp.float32)[None]
 
     base = psnr(np.clip(np.asarray(resize_bicubic_up(lr_b, s))[0], 0, 255), hr)
@@ -138,7 +149,8 @@ def main() -> None:
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print(f"\ngrace_hopper x{s} (INTER_AREA degradation)")
+    tag = "" if args.degrade == "none" else f" + {args.degrade}"
+    print(f"\ngrace_hopper x{s} (INTER_AREA degradation{tag})")
     print("model            PSNR     vs bicubic")
     for r in rows:
         print(f"{r['model']:<16} {r['psnr']:6.2f}  {r['delta']:+.2f} dB")

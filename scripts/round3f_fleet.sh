@@ -27,6 +27,9 @@ stage() {  # name timeout_s cmd...
 stage reeval      1800 python scripts/reeval.py --only edsr_l_x2,espcn_x2,edsr_l_x3
 stage fusion      2700 python scripts/fit_fusion.py --scales 2,3
 stage photo_panel 3600 python scripts/photo_eval.py --models "espcn,edsr_l,edsr_l+,edsr_l:ibp,edsr_l+:ibp,fusion,zssr,zssr+"
+# Robust-tier acceptance (VERDICT r2 item 2): on a noisy real input both
+# the clean tier and the routed robust tier must beat bicubic.
+stage photo_noisy 1800 python scripts/photo_eval.py --degrade noise --models "edsr_l,edsr_l_robust"
 stage qbench      5400 python scripts/quality_bench.py --n 4 --size 512
 stage proof200    3600 python scripts/proof_200mp.py
 stage bench       2700 python bench.py
