@@ -27,8 +27,17 @@ SEED0 = 640_000  # disjoint from training/eval/fit seed ranges
 
 
 def build_pairs(n_imgs: int, size: int, seed0: int):
-    """(ref, d_lo, d_hi) float32 stacks from the fit_qa distortion ladder."""
+    """(ref, d_lo, d_hi) float32 stacks from the fit_qa distortion ladder.
+
+    Cached to /tmp: the render loop is host cv2 work that this single-core
+    microVM occasionally stalls 10-25 s per image on (scheduler steal, not
+    memory pressure) — a lost 90-minute fleet budget must not repeat it."""
     import numpy as np
+
+    cache = f"/tmp/srs_lpips_pairs_{n_imgs}_{size}_{seed0}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["refs"], z["lows"], z["highs"]
 
     from scripts.fit_qa_models import distort  # reuse the ladder
     from srs_tpu.models.corpus import render_any
@@ -43,9 +52,11 @@ def build_pairs(n_imgs: int, size: int, seed0: int):
             refs.append(img)
             lows.append(distort(img, kind, int(k1)))
             highs.append(distort(img, kind, int(k2)))
-    return (np.stack(refs).astype(np.float32),
-            np.stack(lows).astype(np.float32),
-            np.stack(highs).astype(np.float32))
+    out = (np.stack(refs).astype(np.float32),
+           np.stack(lows).astype(np.float32),
+           np.stack(highs).astype(np.float32))
+    np.savez(cache, refs=out[0], lows=out[1], highs=out[2])
+    return out
 
 
 def ranking_accuracy(dist_fn, refs, lows, highs) -> float:
