@@ -117,9 +117,21 @@ def distort(img: np.ndarray, kind: str, level: int) -> np.ndarray:
 
 
 def main() -> None:
+    import sys
+
     import jax.numpy as jnp
 
     os.makedirs(DATA_DIR, exist_ok=True)
+    # --only lpips: refit just the LPIPS threshold calibration (needed
+    # whenever the packaged lpips_{vgg,alex} features retrain — the
+    # distance scale changes while the NIQE/BRISQUE fits do not).
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    if only == "lpips":
+        _fit_lpips_calib(jnp)
+        print("DONE")
+        return
 
     # ---- NIQE pristine model: real-photo patches + crisp renders (see
     # pristine_pool docstring); diagonal shrinkage 0.1 so held-out clean
@@ -205,13 +217,19 @@ def main() -> None:
     np.savez(os.path.join(DATA_DIR, "brisque_model.npz"), w=w, b=b, mu=mu, sd=sd)
     print(f"brisque: corr={corr:.3f} rmse={rmse:.1f} over {len(y)} samples")
 
+    _fit_lpips_calib(jnp)
+    print("DONE")
+
+
+def _fit_lpips_calib(jnp) -> None:
     # ---- LPIPS threshold calibration ----
     # The reference's QualityThresholds LPIPS levels (0.02/0.05/0.10) are
-    # calibrated for torch-lpips; the random-feature metric has a
-    # different numeric scale. Calibrate level cut-offs as the median
-    # distance at distortion severities 1/2/3 of the ladder, so
-    # `lpips_level` labels carry the intended "imperceptible / slight /
-    # acceptable" semantics under *this* metric.
+    # calibrated for torch-lpips; this metric (trained ranking features,
+    # or the random-feature fallback) has a different numeric scale.
+    # Calibrate level cut-offs as the median distance at distortion
+    # severities 1/2/3 of the ladder, so `lpips_level` labels carry the
+    # intended "imperceptible / slight / acceptable" semantics under
+    # *this* metric. Must be rerun whenever lpips_{vgg,alex} retrain.
     import json
 
     from srs_tpu.models.lpips import LPIPSMetric
@@ -236,7 +254,6 @@ def main() -> None:
     with open(os.path.join(DATA_DIR, "lpips_calib.json"), "w") as f:
         json.dump(calib, f, indent=2)
     print("lpips calibration:", json.dumps(calib))
-    print("DONE")
 
 
 if __name__ == "__main__":

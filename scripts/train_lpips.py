@@ -34,7 +34,7 @@ def build_pairs(n_imgs: int, size: int, seed0: int):
     memory pressure) — a lost 90-minute fleet budget must not repeat it."""
     import numpy as np
 
-    cache = f"/tmp/srs_lpips_pairs_{n_imgs}_{size}_{seed0}.npz"
+    cache = f"/tmp/srs_lpips_pairs_v2_{n_imgs}_{size}_{seed0}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         return z["refs"], z["lows"], z["highs"]
@@ -52,6 +52,19 @@ def build_pairs(n_imgs: int, size: int, seed0: int):
             refs.append(img)
             lows.append(distort(img, kind, int(k1)))
             highs.append(distort(img, kind, int(k2)))
+        # Cross-KIND pairs (v2): within-kind ordering is already at
+        # ceiling for random features; what training must add is a
+        # comparable scale ACROSS distortion kinds (the property human
+        # 2AFC data gives torch-lpips). Severity gap >= 2 makes the
+        # ground-truth ordering safe despite kinds not being perceptually
+        # equated at equal level.
+        for _ in range(4):
+            ka, kb = rng.choice(4, 2, replace=False)
+            sb = int(rng.integers(1, 4))  # 1..3
+            sa = int(rng.integers(sb + 2, 6))  # sb+2 .. 5
+            refs.append(img)
+            lows.append(distort(img, kinds[kb], sb))
+            highs.append(distort(img, kinds[ka], sa))
     out = (np.stack(refs).astype(np.float32),
            np.stack(lows).astype(np.float32),
            np.stack(highs).astype(np.float32))

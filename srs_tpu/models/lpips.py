@@ -116,7 +116,26 @@ class LPIPSMetric:
         try:
             import orbax.checkpoint as ocp
 
-            return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+            # Restore against an abstract target with an explicit local
+            # sharding (registry._try_load_checkpoint's pattern): the
+            # packaged checkpoints were written on TPU and embed device
+            # shardings — a targetless restore only works when the saved
+            # topology happens to match, i.e. it silently fails on CPU
+            # and flakes even on-device.
+            module = _FeatureNet(**_ARCHS[net])
+            abstract = jax.eval_shape(
+                lambda: module.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+                )
+            )
+            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
+                abstract,
+            )
+            return ocp.StandardCheckpointer().restore(
+                os.path.abspath(path), abstract
+            )
         except Exception:
             return None
 
