@@ -42,9 +42,12 @@ def depth_to_space(x: jax.Array, scale: int) -> jax.Array:
     or channel counts; TPU (8, 128) tiling pads those 10-80x at print-grade
     sizes. Two regimes:
 
-    - small output channels (< 8, i.e. the final RGB stage): interleave
-      phases spatially with `lax.pad` interior padding — s^2 channel
-      slices summed into their strided positions, no transpose;
+    - small output channels (< 8, i.e. the final RGB stage): two
+      stack+reshape interleaves (W phases then H phases) — XLA fuses the
+      stacked layout op into the producer. Measured on v5e at the x3
+      tail's stage-2 shape (1536^2 x 27 -> 4608^2 x 3): 4.1 ms vs 30.3 ms
+      for the previous lax.pad interior-padding accumulate (the pads +
+      selects were 28% of the whole SR ladder's device time);
     - large channels: one 5-D transpose whose minor dim is s*c (>= 128),
       which tiles cleanly.
 
@@ -54,15 +57,16 @@ def depth_to_space(x: jax.Array, scale: int) -> jax.Array:
     s = scale
     c = cc // (s * s)
     if c < 8:
-        zero = jnp.zeros((), x.dtype)
-        acc = None
+        from ..ops.interleave import interleave_axis
+
+        rows = []
         for i in range(s):
-            for j in range(s):
-                part = jax.lax.slice_in_dim(x, (i * s + j) * c, (i * s + j + 1) * c, axis=3)
-                cfg = [(0, 0, 0), (i, s - 1 - i, s - 1), (j, s - 1 - j, s - 1), (0, 0, 0)]
-                stuffed = jax.lax.pad(part, zero, cfg)
-                acc = stuffed if acc is None else acc + stuffed
-        return acc
+            parts = [
+                jax.lax.slice_in_dim(x, (i * s + j) * c, (i * s + j + 1) * c, axis=3)
+                for j in range(s)
+            ]
+            rows.append(interleave_axis(parts, axis=2))
+        return interleave_axis(rows, axis=1)
     x = x.reshape(n, h, w, s, s * c)
     x = x.transpose(0, 1, 3, 2, 4)  # n, h, s1, w, s2*c
     x = x.reshape(n, h * s, w * s, c)

@@ -692,7 +692,12 @@ class SuperResolutionModule:
         """Prompt-conditioned polish (models/conditioning.py) — the path
         by which a prompt category changes output pixels (reference
         analog: prompt-steered diffusion, sr:625-640). No-op when no
-        category is requested or no trained cond_polish is packaged."""
+        category is requested or no trained cond_polish is packaged.
+
+        Callers that trace this under jax.jit must warm
+        ``build_cond_polish`` eagerly first: the orbax restore fails
+        inside a trace and the loader's try/except would silently
+        disable conditioning (pipeline._upscale_batch does this)."""
         if category is None:
             return out
         from .conditioning import build_cond_polish, cond_vector

@@ -153,6 +153,10 @@ class SuperResolutionPipeline:
         # monitor's Cancel button and any host thread can abort a
         # print-grade job without killing the process).
         self._cancel_event = threading.Event()
+        # Fused whole-ladder programs keyed by (ladder, provider, steps,
+        # model, category) — see _upscale_batch. Lives on the instance so
+        # a fresh pipeline after a retrain re-bakes checkpoints.
+        self._ladder_jits: Dict[tuple, Any] = {}
         # Batch pipelining (process_batch): serializes the device stages
         # (2-4) across worker threads so job N+1's SR/blend compute fills
         # the chips while job N's save streams over the host link — the
@@ -274,6 +278,17 @@ class SuperResolutionPipeline:
         assert self.sr_module is not None
         provider_name = provider or self.config.provider
         cat = category if category is not None else self.config.prompt_category
+        if cat is not None:
+            # Warm the conditioned-polish checkpoint cache EAGERLY: the
+            # orbax restore cannot run inside a jit trace (tensorstore
+            # fails under tracing and the loader's try/except would
+            # silently turn conditioning into a no-op).
+            from .models.conditioning import build_cond_polish
+
+            build_cond_polish(
+                self.sr_module.config.checkpoint_dir,
+                jnp.dtype(self.sr_module.config.compute_dtype),
+            )
         if self.dispatcher is not None and provider_name != "bicubic":
             provider = provider_name
             steps = self.config.ibp_steps
@@ -298,12 +313,16 @@ class SuperResolutionPipeline:
         n = int(tiles.shape[0])
         final_block = int(tiles.shape[1]) * int(np.prod(ladder)) if ladder else int(tiles.shape[1])
         # Peak per tile ~= pre-shuffle feature maps (64ch bf16 at output
-        # resolution after progressive x2 stages) + fp32 output.
+        # resolution after progressive x2 stages) + fp32 output. Budget
+        # targets 2 tiles per program at the 100MP preset's 4608 final
+        # block (measured: XLA allocates ~2.7 GB/tile there; a 2-tile
+        # program is 9% faster device-side than two 1-tile programs and
+        # halves the dispatch round-trips, while a 3-tile program already
+        # kills this image's remote compile helper).
         bytes_per_tile = final_block * final_block * 160
-        chunk = max(1, min(n, int(4e9 // max(bytes_per_tile, 1))))
-        outs = []
-        for i in range(0, n, chunk):
-            cur = tiles[i : i + chunk]
+        chunk = max(1, min(n, int(7e9 // max(bytes_per_tile, 1))))
+
+        def ladder_chunk(cur):
             for si, s in enumerate(ladder):
                 last = si == len(ladder) - 1
                 cur = self.sr_module.upscale_tiles(
@@ -313,7 +332,27 @@ class SuperResolutionPipeline:
                 )
             if not ladder:  # no net pass: conditioning still applies
                 cur = self.sr_module._conditioned(cur, cat)
-            outs.append(cur)
+            return cur
+
+        # One jitted program per chunk, not one per ladder step: each
+        # dispatch to the tunneled remote chip costs ~90 ms of host
+        # latency, so fusing the whole [3,3] ladder + clips into a single
+        # program cut the measured 100MP SR stage 1.77 s -> 1.21 s
+        # (device compute is ~1.2 s; MFU 25% -> 37%). The fused program
+        # bakes net params as HLO constants — acceptable because a
+        # recompile only recurs after a retrain — EXCEPT for zssr, whose
+        # per-image fine-tuned params change every job and must stay in
+        # the per-step (params-as-arguments) path.
+        if provider_name != "zssr":
+            key = (tuple(ladder), provider_name, self.config.ibp_steps, model, cat)
+            fn = self._ladder_jits.get(key)
+            if fn is None:
+                fn = jax.jit(ladder_chunk)
+                self._ladder_jits[key] = fn
+            ladder_chunk = fn
+        outs = []
+        for i in range(0, n, chunk):
+            outs.append(ladder_chunk(tiles[i : i + chunk]))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     # -- stage 2 with failure recovery --------------------------------------
