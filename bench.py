@@ -117,6 +117,16 @@ def main() -> None:
         "batch": nbatch,
         "d2h_link_MBps": round(link_mbps, 1),
     }
+    # The save stage is (by design) one streamed device->host transfer of
+    # the full output; its wall time over the output bytes is the SUSTAINED
+    # link rate, which on this tunnel runs well below the 2 MB probe above.
+    # Report both so a slow-looking run is attributable to link weather.
+    save_s = r.stage_times.get("save")
+    if save_s:
+        out_bytes = w * h * 3 * (cfg.bit_depth // 8)
+        result["save_link_MBps"] = round(out_bytes / 1e6 / save_s, 1)
+        if nbatch == 1:
+            result["compute_stages_s"] = round(elapsed - save_s, 2)
     # MFU: analytic conv FLOPs of the SR ladder that actually ran (routing/
     # degradation-aware; from pipeline.last_run_info) over the measured SR
     # stage time. IBP/blend excluded — bandwidth-bound, not MXU work.
