@@ -2,18 +2,29 @@
 
 API-parity port of the reference's ARK client (reference:
 ark_api_module.py:17-96: `ARKImageConfig`, `ARKImageGenerator.generate`
-posting to a text-to-image endpoint with Bearer auth, size "2K",
-watermark flag). There is no remote generation here; `generate` runs an
-on-device procedural synthesizer seeded from the prompt hash — a
-deterministic stand-in that preserves the call surface, usable for
-placeholder fills and test fixtures. SURVEY §2 #10 marks this component
-optional/low priority; a learned generative-fill model can replace the
-synthesizer behind the same API.
+posting a prompt to a remote text-to-image endpoint with Bearer auth,
+size "2K", watermark flag). There is no remote generation here; two
+on-device backends serve the same call surface:
+
+- **learned** (default when the ``ark_gen`` checkpoint is packaged):
+  the class-conditional diffusion model of models/generative.py samples
+  a 64 px base image for the prompt's visual class (DDIM +
+  classifier-free guidance, `guidance_scale` honored), and the
+  framework's own packaged SR ladder super-resolves it to the requested
+  1K/2K/4K size — generation and super-resolution share one stack;
+- **procedural** fallback (untrained checkouts, or
+  ``SRS_ARK_PROCEDURAL=1``): a deterministic low-frequency synthesizer
+  seeded from the prompt hash, kept for test fixtures and placeholder
+  fills.
+
+Both are deterministic given (prompt, seed).
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
@@ -32,7 +43,7 @@ _SIZES = {"1K": (1024, 1024), "2K": (2048, 2048), "4K": (4096, 4096)}
 class ARKImageConfig:
     """(reference: ark_api_module.py:17-25)."""
 
-    model: str = "procedural-v1"
+    model: str = "ark-gen-v1"
     size: str = "2K"
     watermark: bool = False
     seed: Optional[int] = None
@@ -47,6 +58,16 @@ class ARKImageResult:
     seed: int
     size: Tuple[int, int]
     processing_time: float
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+
+def _resolve_size(size: str) -> Tuple[int, int]:
+    if size in _SIZES:
+        return _SIZES[size]
+    m = re.fullmatch(r"(\d+)x(\d+)", size or "")
+    if m:
+        return int(m.group(1)), int(m.group(2))
+    return _SIZES["2K"]
 
 
 class ARKImageGenerator:
@@ -59,28 +80,103 @@ class ARKImageGenerator:
     def generate(self, prompt: str, config: Optional[ARKImageConfig] = None) -> ARKImageResult:
         cfg = config or self.config
         t0 = time.time()
-        w, h = _SIZES.get(cfg.size, _SIZES["2K"])
+        w, h = _resolve_size(cfg.size)
         seed = cfg.seed
         if seed is None:
             seed = int(hashlib.md5(prompt.encode()).hexdigest()[:8], 16) % (2**31)
-        rng = np.random.default_rng(seed)
-        # Procedural field: smooth random low-frequency color gradients.
-        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-        img = np.zeros((h, w, 3), np.float32)
-        for _ in range(4):
-            fx, fy = rng.uniform(0.5, 4.0, 2)
-            px, py = rng.uniform(0, 2 * np.pi, 2)
-            amp = rng.uniform(20, 60, 3)
-            wave = np.sin(xx / w * fx * 2 * np.pi + px) * np.cos(yy / h * fy * 2 * np.pi + py)
-            img += wave[..., None] * amp[None, None, :]
-        img = np.clip(img + 127.0, 0, 255)
+        img = meta = None
+        if not os.environ.get("SRS_ARK_PROCEDURAL"):
+            try:
+                img, meta = self._generate_learned(prompt, cfg, seed, (w, h))
+            except Exception:
+                img = None  # fall back to the procedural synthesizer
+        if img is None:
+            img = _procedural(prompt, seed, (w, h))
+            meta = {"model": "procedural-v1"}
         if cfg.watermark:
             img[-32:, -192:] = np.clip(img[-32:, -192:] * 0.6 + 80, 0, 255)
         out = Image.fromarray(img.astype(np.uint8)) if Image is not None else img
         return ARKImageResult(
             image=out, prompt=prompt, seed=seed, size=(w, h),
-            processing_time=time.time() - t0,
+            processing_time=time.time() - t0, metadata=meta,
         )
+
+    # -- learned backend ---------------------------------------------------
+
+    def _generate_learned(
+        self, prompt: str, cfg: ARKImageConfig, seed: int, wh: Tuple[int, int]
+    ) -> Tuple[Optional[np.ndarray], Dict[str, Any]]:
+        import jax
+        import jax.numpy as jnp
+
+        from .generative import ARK_CLASSES, build_ark, class_for_prompt, sample_ark
+
+        module, params, trained = build_ark()
+        if not trained:
+            return None, {}
+        w, h = wh
+        cls = class_for_prompt(prompt, cfg.extra.get("category"))
+        steps = int(cfg.extra.get("steps", 50))
+        # The API's guidance_scale rides the reference's diffusion range
+        # (default 7.5); this small model saturates lower, so map it into
+        # [1, 4] around the same default.
+        g = float(np.clip(1.0 + (cfg.guidance_scale - 1.0) * 0.25, 1.0, 4.0))
+        base = sample_ark(
+            module, params, cls, jax.random.PRNGKey(seed), steps=steps, guidance=g
+        )
+        side = int(base.shape[1])
+        total = max(w, h) / side
+        ladder = []
+        provider = cfg.extra.get("sr_provider", "quality")
+        if total > 1.0:
+            from .sr_module import scale_ladder
+
+            sr = _sr_module()
+            ladder = scale_ladder(total, trained=sr.trained_scales(provider))
+            cur = base
+            for s in ladder:
+                cur = sr.upscale_tiles(cur, s, provider=provider)
+            base = cur
+        if base.shape[1] != h or base.shape[2] != w:
+            from ..ops.resize import resize_bicubic
+
+            base = jnp.clip(resize_bicubic(base, h, w), 0, 255)
+        img = np.asarray(base[0], np.float32)
+        return img, {
+            "model": "ark_gen-ddim",
+            "class": ARK_CLASSES[cls],
+            "guidance": g,
+            "steps": steps,
+            "base_size": side,
+            "sr_ladder": ladder,
+        }
+
+
+_SR_SINGLETON = None
+
+
+def _sr_module():
+    global _SR_SINGLETON
+    if _SR_SINGLETON is None:
+        from .sr_module import SuperResolutionModule
+
+        _SR_SINGLETON = SuperResolutionModule()
+    return _SR_SINGLETON
+
+
+def _procedural(prompt: str, seed: int, wh: Tuple[int, int]) -> np.ndarray:
+    """Deterministic low-frequency synthesizer (the round-1/2 stand-in)."""
+    w, h = wh
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    for _ in range(4):
+        fx, fy = rng.uniform(0.5, 4.0, 2)
+        px, py = rng.uniform(0, 2 * np.pi, 2)
+        amp = rng.uniform(20, 60, 3)
+        wave = np.sin(xx / w * fx * 2 * np.pi + px) * np.cos(yy / h * fy * 2 * np.pi + py)
+        img += wave[..., None] * amp[None, None, :]
+    return np.clip(img + 127.0, 0, 255)
 
 
 def generate_image(prompt: str, **kwargs: Any) -> ARKImageResult:

@@ -1,0 +1,136 @@
+"""ARK learned generator (models/generative.py + generate.py wiring):
+class mapping, diffusion math, tiny-train round-trip, packaged sampling.
+(Reference analog: ark_api_module.py:17-96 — remote text-to-image.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srs_tpu.models.generative import (
+    ARK_CLASSES,
+    CondUNet,
+    alpha_bar,
+    build_ark,
+    class_for_prompt,
+    clear_ark_cache,
+    is_ark_trained,
+    render_class,
+    sample_ark,
+    train_ark,
+)
+
+
+def test_class_for_prompt_mapping():
+    assert ARK_CLASSES[class_for_prompt("a text poster for a sale")] == "document"
+    assert ARK_CLASSES[class_for_prompt("herringbone weave pattern")] == "pattern"
+    assert ARK_CLASSES[class_for_prompt("", "jewelry")] == "shaded"
+    assert ARK_CLASSES[class_for_prompt("food")] == "photo"  # category name as prompt
+    assert ARK_CLASSES[class_for_prompt("anything else at all")] == "scene"
+    # keyword beats category
+    assert ARK_CLASSES[class_for_prompt("marble texture closeup", "beauty")] == "texture"
+
+
+def test_alpha_bar_schedule():
+    t = jnp.linspace(0.0, 1.0, 11)
+    ab = np.asarray(alpha_bar(t))
+    assert ab[0] > 0.99 and ab[-1] < 0.01
+    assert np.all(np.diff(ab) < 0)  # strictly decreasing
+
+
+def test_render_class_deterministic_distinct():
+    a = render_class(3, 1, 48)  # document
+    b = render_class(3, 1, 48)
+    c = render_class(3, 4, 48)  # texture
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (48, 48, 3) and a.dtype == np.float32
+    assert float(np.abs(a - c).mean()) > 1.0
+    assert 0.0 <= a.min() and a.max() <= 255.0
+
+
+def test_sampler_determinism_and_checkpoint_roundtrip(tmp_path):
+    m = CondUNet(base=8, depth=1)
+    p = m.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+    )
+    s1 = sample_ark(m, p, 2, jax.random.PRNGKey(7), size=32, steps=3)
+    s2 = sample_ark(m, p, 2, jax.random.PRNGKey(7), size=32, steps=3)
+    s3 = sample_ark(m, p, 2, jax.random.PRNGKey(8), size=32, steps=3)
+    assert s1.shape == (1, 32, 32, 3)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert float(jnp.abs(s1 - s3).mean()) > 0.1  # seed changes the sample
+    assert 0.0 <= float(s1.min()) and float(s1.max()) <= 255.0
+    # save -> build_ark restore (the packaged-checkpoint loader path)
+    from srs_tpu.models.train import save_checkpoint
+
+    save_checkpoint(p, "ark_gen", 1, str(tmp_path))
+    clear_ark_cache()
+    try:
+        _, restored, trained = build_ark(
+            checkpoint_dir=str(tmp_path), base=8, depth=1
+        )
+        assert trained
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(restored)[0]),
+            np.asarray(jax.tree_util.tree_leaves(p)[0]),
+        )
+    finally:
+        clear_ark_cache()
+
+
+@pytest.mark.slow
+def test_train_ark_tiny_and_checkpoint_roundtrip(tmp_path):
+    # the optimizer-step scan is a ~30 s CPU compile; the trainer itself is
+    # exercised for real on TPU (scripts/train_ark.py) and the loader path
+    # by the default-run roundtrip test above
+    # 8 imgs/class at 32 px, 4 steps: the full train->save->build_ark path
+    x = np.stack([render_class(i, c, 32) for c in range(8) for i in range(2)])
+    y = np.asarray([c for c in range(8) for _ in range(2)], np.int32)
+    _, ema, loss = train_ark(
+        steps=4, size=32, base=8, depth=1, batch=4, scan_chunk=2,
+        corpus=(x.astype(np.float32), y), checkpoint_dir=str(tmp_path),
+    )
+    assert np.isfinite(loss)
+    clear_ark_cache()
+    try:
+        module, params, trained = build_ark(
+            checkpoint_dir=str(tmp_path), base=8, depth=1
+        )
+        assert trained
+        k0 = jax.tree_util.tree_leaves(params)[0]
+        e0 = jax.tree_util.tree_leaves(ema)[0]
+        np.testing.assert_allclose(np.asarray(k0), np.asarray(e0))
+    finally:
+        clear_ark_cache()
+
+
+@pytest.mark.slow
+def test_generate_learned_when_packaged(monkeypatch):
+    """With the packaged ark_gen checkpoint the API serves the diffusion
+    backend: deterministic, prompt-class steered, SR-ladder upscaled.
+    Slow-marked: the full-size UNet apply is a ~20 s CPU compile; the
+    sampler/loader mechanics have default-run tiny guards above, and the
+    real model is exercised on TPU (scripts/train_ark.py + docs/GUIDE)."""
+    monkeypatch.delenv("SRS_ARK_PROCEDURAL", raising=False)
+    if not is_ark_trained():
+        pytest.skip("no packaged ark_gen checkpoint")
+    from srs_tpu.models.generate import ARKImageConfig, ARKImageGenerator
+
+    gen = ARKImageGenerator()
+    # fast SR tier: the espcn x2 tail compiles in seconds on CPU where the
+    # default edsr_l costs ~30 s for identical coverage of the wiring
+    extra = {"steps": 4, "sr_provider": "fast"}
+    cfg = ARKImageConfig(size="128x128", extra=extra)
+    r1 = gen.generate("product shot of a watch", cfg)
+    assert r1.metadata["model"] == "ark_gen-ddim"
+    assert np.asarray(r1.image).shape == (128, 128, 3)
+    assert r1.metadata["sr_ladder"] and int(np.prod(r1.metadata["sr_ladder"])) == 2
+    r2 = gen.generate("product shot of a watch", cfg)
+    np.testing.assert_array_equal(np.asarray(r1.image), np.asarray(r2.image))
+    # a different class changes the pixels (same seed forced)
+    cfg3 = ARKImageConfig(size="128x128", seed=r1.seed, extra=dict(extra))
+    r3 = gen.generate("a text poster page", cfg3)
+    assert r3.metadata["class"] != r1.metadata["class"]
+    assert float(np.abs(np.asarray(r3.image, np.float32)
+                        - np.asarray(r1.image, np.float32)).mean()) > 1.0

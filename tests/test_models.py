@@ -39,7 +39,9 @@ def test_depth_to_space():
 
 @pytest.mark.parametrize("net_cls", [ESPCN, EDSR, RCAN])
 def test_nets_equal_bicubic_at_init(img64, net_cls):
-    model = net_cls(scale=2)
+    # shallow variants: the zero-init-tail property is per-architecture,
+    # not per-depth, and full-depth EDSR/RCAN only add CPU compile time
+    model = net_cls(scale=2) if net_cls is ESPCN else net_cls(scale=2, num_blocks=2)
     x = jnp.asarray(img64)[None]
     params = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(params, x)
@@ -132,7 +134,11 @@ def test_registry_cache_keyed_on_dtype_and_dir(tmp_path):
 
 
 def test_sr_module_providers(img64):
-    sr = SuperResolutionModule()
+    from srs_tpu.config import ModelConfig
+
+    # edsr_m quality tier: provider dispatch under test, not the net —
+    # the default edsr_l doubles the CPU compile for identical coverage
+    sr = SuperResolutionModule(ModelConfig(quality_model="edsr_m"))
     r = sr.upscale_seedream(img64, target_scale=2.0, num_inference_steps=4)
     assert r.upscaled_size == (128, 128) and r.provider == "seedream"
     assert r.metadata["seed"] == sr._deterministic_seed(img64, "")
@@ -158,7 +164,9 @@ def test_sr_module_fractional_scale(img64):
 
 
 def test_hybrid_ladder_history(img64):
-    sr = SuperResolutionModule()
+    from srs_tpu.config import ModelConfig
+
+    sr = SuperResolutionModule(ModelConfig(quality_model="edsr_m"))
     r = sr.hybrid_upscale(img64, target_scale=4.0)
     assert r.upscaled_size == (256, 256)
     stages = [h["stage"] for h in r.metadata["processing_history"]]
@@ -171,7 +179,9 @@ def test_hybrid_polish_gated_by_producer(img64):
     # Polish is a cleanup net for fast/bicubic-tier outputs (train_polish.py);
     # after a trained quality net it measurably hurts, so the ladder must
     # skip it (with the reason) when stage 2 used trained quality weights.
-    sr = SuperResolutionModule()
+    from srs_tpu.config import ModelConfig
+
+    sr = SuperResolutionModule(ModelConfig(quality_model="edsr_m"))
     r = sr.hybrid_upscale(img64, target_scale=4.0)
     hist = {h["stage"]: h for h in r.metadata["processing_history"]}
     pol = hist["fast_polish"]
@@ -309,7 +319,7 @@ def test_lpips_trained_beats_random_features(img64):
 
     rng = np.random.default_rng(3)
     img = cv2.GaussianBlur(
-        (rng.random((96, 96, 3)) * 255).astype(np.float32), (0, 0), 1.2
+        (rng.random((64, 64, 3)) * 255).astype(np.float32), (0, 0), 1.2
     )
 
     def dist(params, a, b):
@@ -391,7 +401,7 @@ def test_packaged_checkpoints_beat_bicubic():
         for name in ("espcn", "edsr_m", "edsr_l", "rcan"):
             m, p = build_model(name, 2)
             assert is_pretrained(name, 2), f"packaged {name}_x2 failed to load"
-            stats = eval_on_holdout(m, p, 2, n=4, size=192)
+            stats = eval_on_holdout(m, p, 2, n=2, size=160)
             floor = max(stats["psnr_bicubic"], stats["psnr_bicubic_ibp"])
             assert stats["psnr_net"] >= floor + 0.5, (name, stats)
     finally:
@@ -428,7 +438,7 @@ def test_robust_checkpoint_wins_on_degraded_inputs():
     try:
         m, p = build_model("edsr_l_robust", 2)
         assert is_pretrained("edsr_l_robust", 2), "packaged robust weights missing"
-        stats = eval_on_holdout(m, p, 2, n=3, size=192, degradation="robust")
+        stats = eval_on_holdout(m, p, 2, n=2, size=160, degradation="robust")
         assert stats["psnr_net"] >= stats["psnr_bicubic"] + 2.0, stats
     finally:
         clear_param_cache()

@@ -97,19 +97,21 @@ def test_sharded_laplacian_blend_small_parity(rng):
     from srs_tpu.ops.weights import layout_weight_profiles
     from srs_tpu.parallel.halo import sharded_laplacian_blend
 
+    # levels=2 still exercises the per-level spill ppermutes AND the
+    # collapse halo exchange; deeper pyramids/meshes are the slow sweep
     mesh = make_mesh({"space": 2})
-    lo = compute_layout(160, 2 * 96 + 32, 128, 0.25, step_multiple=32)
+    lo = compute_layout(96, 2 * 48 + 16, 64, 0.25, step_multiple=16)
     assert lo.ny % 2 == 0
     img = rng.random((lo.image_h, lo.image_w, 3), dtype=np.float32) * 255
     tiles = extract_tiles(pad_image(jnp.asarray(img), lo), lo)
     prof = layout_weight_profiles(lo)
     ref = np.asarray(
         B.laplacian_fusion_tiles(
-            jnp.array(tiles), None, lo, levels=3,
+            jnp.array(tiles), None, lo, levels=2,
             weight_profiles=prof, clip_range=None,
         )
     )
-    got = np.asarray(sharded_laplacian_blend(tiles, *prof, lo, mesh, levels=3))
+    got = np.asarray(sharded_laplacian_blend(tiles, *prof, lo, mesh, levels=2))
     np.testing.assert_allclose(got, ref[: got.shape[0]], atol=2e-4)
 
 

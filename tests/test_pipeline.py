@@ -214,7 +214,7 @@ def test_process_batch_pipelined_overlap(input_png, tmp_path):
     import threading
     import time as _time
 
-    pipe = SuperResolutionPipeline(_cfg())
+    pipe = SuperResolutionPipeline(_cfg(enable_qa=False))
     jobs = [
         {"input": input_png, "output": str(tmp_path / f"b{i}.png")}
         for i in range(3)
@@ -240,7 +240,7 @@ def test_process_batch_pipelined_overlap(input_png, tmp_path):
     ends = sorted(t for k, _, t in events if k == "end")
     assert starts[1] < ends[0] + 1e-9
     # outputs identical to a sequential run
-    seq = SuperResolutionPipeline(_cfg())
+    seq = SuperResolutionPipeline(_cfg(enable_qa=False))
     r0 = seq.process(input_png, str(tmp_path / "seq.png"))
     assert r0.success
     a = np.asarray(Image.open(jobs[1]["output"]))
@@ -319,7 +319,11 @@ def test_failure_ladder_degrades_to_fallback(input_png, tmp_path):
     # scheduler.handle_failure: retries first, then the degradation ladder
     # (tile 256/16, fallback engine, scale x0.7) completes the job.
     out = str(tmp_path / "deg.png")
-    pipe = SuperResolutionPipeline(_cfg(provider="quality"))
+    # espcn quality tier: the ladder under test is the scheduler's, not the
+    # net's — the default edsr_l only adds CPU compile time here
+    pipe = SuperResolutionPipeline(
+        _cfg(provider="quality", quality_model="espcn", enable_qa=False)
+    )
     pipe._ensure_engine()
     real = pipe.sr_module.upscale_tiles
 
@@ -342,7 +346,9 @@ def test_failure_ladder_transient_retry(input_png, tmp_path):
     # A transient failure (fails twice, then works) must succeed WITHOUT
     # degradation — plain retry parity (reference agent_scheduler:752-829).
     out = str(tmp_path / "transient.png")
-    pipe = SuperResolutionPipeline(_cfg(provider="quality"))
+    pipe = SuperResolutionPipeline(
+        _cfg(provider="quality", quality_model="espcn", enable_qa=False)
+    )
     pipe._ensure_engine()
     real = pipe.sr_module.upscale_tiles
     calls = {"n": 0}
@@ -370,7 +376,9 @@ def test_checkpoint_resume_after_kill(input_png, tmp_path):
     out = str(tmp_path / "ck.png")
 
     def make_pipe():
-        p = SuperResolutionPipeline(_cfg(provider="fast", enable_checkpoint=True))
+        p = SuperResolutionPipeline(
+            _cfg(provider="fast", enable_checkpoint=True, enable_qa=False)
+        )
         p._ensure_engine()
         p.tiling_module.store = TileStore(str(tmp_path / "store"))
         calls = {"n": 0}
@@ -403,7 +411,9 @@ def test_checkpoint_partial_resume(input_png, tmp_path):
     from srs_tpu.tiling.cache import TileStore
 
     out = str(tmp_path / "pr.png")
-    pipe = SuperResolutionPipeline(_cfg(provider="fast", enable_checkpoint=True))
+    pipe = SuperResolutionPipeline(
+        _cfg(provider="fast", enable_checkpoint=True, enable_qa=False)
+    )
     pipe._ensure_engine()
     pipe.tiling_module.store = TileStore(str(tmp_path / "store2"))
     pipe._blend_orig = pipe._blend
@@ -418,13 +428,15 @@ def test_checkpoint_partial_resume(input_png, tmp_path):
     import os as _os
     _os.remove(_os.path.join(str(tmp_path / "store2"), key, blocks[0] + ".npz"))
 
-    pipe2 = SuperResolutionPipeline(_cfg(provider="fast", enable_checkpoint=True))
+    pipe2 = SuperResolutionPipeline(
+        _cfg(provider="fast", enable_checkpoint=True, enable_qa=False)
+    )
     pipe2._ensure_engine()
     pipe2.tiling_module.store = TileStore(str(tmp_path / "store2"))
     result = pipe2.process(input_png, out)
     assert result.success, result.error_message
 
-    ref = SuperResolutionPipeline(_cfg(provider="fast")).process(
+    ref = SuperResolutionPipeline(_cfg(provider="fast", enable_qa=False)).process(
         input_png, str(tmp_path / "ref.png")
     )
     assert ref.success

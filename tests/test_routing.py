@@ -105,9 +105,9 @@ def test_pipeline_routes_noisy_input(tmp_path):
     if not is_pretrained("edsr_l_robust", 2):
         pytest.skip("no packaged robust checkpoint")
     rng = np.random.default_rng(2)
-    lr = _clean_lr(710, 96)
+    lr = _clean_lr(710, 64)  # one 64px tile: routing is the subject, not tiling
     noisy = np.clip(lr + rng.normal(0, 6, lr.shape), 0, 255).astype(np.float32)
-    cfg = PipelineConfig(block_size=64, target_resolution="192x192",
+    cfg = PipelineConfig(block_size=64, target_resolution="128x128",
                          provider="quality", enable_qa=False)
     pipe = SuperResolutionPipeline(cfg)
     out = str(tmp_path / "routed.png")

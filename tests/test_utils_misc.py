@@ -26,7 +26,10 @@ def test_stage_timer_accumulates():
     json.loads(str(t))  # str is valid json
 
 
-def test_generate_deterministic():
+def test_generate_deterministic(monkeypatch):
+    # procedural backend: full-size learned generation (diffusion + SR
+    # ladder to 1K) is the TPU path, covered by test_generative.py
+    monkeypatch.setenv("SRS_ARK_PROCEDURAL", "1")
     r1 = generate_image("studio shot of a red bottle", size="1K", seed=None)
     r2 = generate_image("studio shot of a red bottle", size="1K")
     assert r1.seed == r2.seed
@@ -37,7 +40,8 @@ def test_generate_deterministic():
     assert r3.seed != r1.seed
 
 
-def test_generate_watermark_and_config():
+def test_generate_watermark_and_config(monkeypatch):
+    monkeypatch.setenv("SRS_ARK_PROCEDURAL", "1")
     gen = ARKImageGenerator(api_key="ignored", config=ARKImageConfig(size="1K", watermark=True))
     r = gen.generate("x")
     assert r.size == (1024, 1024)

@@ -98,14 +98,16 @@ def test_pipeline_cancel(tmp_path):
     src = str(tmp_path / "in.png")
     Image.fromarray(img).save(src)
     pipe = SuperResolutionPipeline(PipelineConfig(
-        block_size=32, target_resolution="160x120", provider="bicubic"))
+        block_size=64, target_resolution="160x120", provider="bicubic",
+        enable_qa=False))
     pipe.cancel()
     # process() clears stale cancels at entry; cancel mid-run via hook:
     result = pipe.process(src, str(tmp_path / "o.png"))
     assert result.success  # stale cancel must NOT kill a fresh run
 
     pipe2 = SuperResolutionPipeline(PipelineConfig(
-        block_size=32, target_resolution="160x120", provider="bicubic"))
+        block_size=64, target_resolution="160x120", provider="bicubic",
+        enable_qa=False))
     orig = pipe2._upscale_batch
 
     def cancel_during_sr(*a, **k):
@@ -152,8 +154,10 @@ def test_result_export_reencodes(tmp_path):
 def test_cli_warmup_small(capsys):
     from srs_tpu.cli import main
 
-    rc = main(["warmup", "--source", "96x64", "--target", "192x128",
-               "--provider", "bicubic", "--block-size", "32"])
+    # shapes shared with test_cli_process_small so the in-process jit cache
+    # already holds most programs; warmup's QA pass is its own new work
+    rc = main(["warmup", "--source", "80x60", "--target", "160x120",
+               "--provider", "bicubic", "--block-size", "64"])
     assert rc == 0
     assert "warmed" in capsys.readouterr().out
 
@@ -161,12 +165,13 @@ def test_cli_warmup_small(capsys):
 def test_cli_process_with_profile(tmp_path):
     from srs_tpu.cli import main
 
-    img = (np.random.default_rng(0).random((48, 64, 3)) * 255).astype(np.uint8)
+    img = (np.random.default_rng(0).random((60, 80, 3)) * 255).astype(np.uint8)
     src = str(tmp_path / "in.png")
     Image.fromarray(img).save(src)
     trace_dir = str(tmp_path / "trace")
-    rc = main(["process", src, str(tmp_path / "o.png"), "--target", "128x96",
-               "--provider", "bicubic", "--block-size", "32", "--no-qa",
+    # same shapes as test_cli_process_small: only the profiler is new work
+    rc = main(["process", src, str(tmp_path / "o.png"), "--target", "160x120",
+               "--provider", "bicubic", "--block-size", "64", "--no-qa",
                "--profile", trace_dir])
     assert rc == 0
     import os as _os
