@@ -140,6 +140,34 @@ def _cmd_warmup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_generate(args: argparse.Namespace) -> int:
+    """Text-to-image via the learned ARK generator (reference analog:
+    ark_api_module.py generate endpoint); falls back to the procedural
+    synthesizer when no ark_gen checkpoint is packaged."""
+    import numpy as np
+
+    from .models.generate import ARKImageConfig, ARKImageGenerator
+
+    cfg = ARKImageConfig(
+        size=args.size,
+        watermark=args.watermark,
+        seed=args.seed,
+        guidance_scale=args.guidance,
+        extra={"steps": args.steps,
+               **({"category": args.category} if args.category else {})},
+    )
+    r = ARKImageGenerator().generate(args.prompt, cfg)
+    img = r.image
+    if hasattr(img, "save"):
+        img.save(args.output)
+    else:  # PIL unavailable: raw npy
+        np.save(args.output, np.asarray(img))
+    print(f"OK {args.output} {r.size[0]}x{r.size[1]} "
+          f"({r.metadata.get('model')}, class={r.metadata.get('class', '-')}, "
+          f"seed={r.seed}, {r.processing_time:.1f}s)")
+    return 0
+
+
 def _cmd_info(args: argparse.Namespace) -> int:
     import jax
 
@@ -247,6 +275,19 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--checkpoint-dir", default=None,
                     help="defaults to ModelConfig.checkpoint_dir")
     pt.set_defaults(fn=_cmd_train)
+
+    pg = sub.add_parser("generate", help="text-to-image (learned ARK analog)")
+    pg.add_argument("prompt")
+    pg.add_argument("output")
+    pg.add_argument("--size", default="2K", help="1K|2K|4K|WxH")
+    pg.add_argument("--seed", type=int, default=None)
+    pg.add_argument("--guidance", type=float, default=7.5,
+                    help="classifier-free guidance (reference-scale default)")
+    pg.add_argument("--steps", type=int, default=50, help="DDIM steps")
+    pg.add_argument("--category", default=None,
+                    help="industry template category conditioning the class")
+    pg.add_argument("--watermark", action="store_true")
+    pg.set_defaults(fn=_cmd_generate)
 
     pi = sub.add_parser("info", help="environment and config info")
     pi.add_argument("--config", action="store_true")

@@ -167,12 +167,25 @@ def sharded_finalize_banded(
     perm_up = [(d + 1, d) for d in range(S - 1)]
     dev_rows = jnp.arange(S, dtype=jnp.int32).reshape(S, 1)
 
+    # jit + memoize the shard_map programs (same reasoning as
+    # parallel/halo._PROGRAM_CACHE: an eager shard_map re-traces and
+    # dispatches op-by-op on every call — and ``fin`` runs once per
+    # sub-band per job).
+    from .halo import _PROGRAM_CACHE
+
+    ext_key = ("fin_ext", mesh, axis, S, own0, own1, h0t, h0b, h1t, h1b,
+               src_w, sc.lap0.shape, sc.coarse.shape)
+    fin_key = ("fin_band", mesh, axis, S, band_src_h, band_coarse_h, sb,
+               out_w, to_uint8, sc.lap0.shape, sc.coarse.shape)
+    extend = _PROGRAM_CACHE.get(ext_key)
+    _cached_fin = _PROGRAM_CACHE.get(fin_key)
+
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis)),
     )
-    def extend(lap0_l, coarse_l, dev_row):
+    def _extend_impl(lap0_l, coarse_l, dev_row):
         d = dev_row[0, 0]
         is_last = (d == S - 1)[None, None, None]
 
@@ -203,6 +216,10 @@ def sharded_finalize_banded(
         coarse_ext = ext(coarse_l, own1, h1t, h1b)
         return lap0_ext, coarse_ext
 
+    if extend is None:
+        extend = jax.jit(_extend_impl)
+        _PROGRAM_CACHE[ext_key] = extend
+
     lap0_ext, coarse_ext = extend(sc.lap0, sc.coarse, dev_rows)
 
     @partial(
@@ -210,11 +227,16 @@ def sharded_finalize_banded(
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     )
-    def fin(lap0_e, coarse_e, starts, rh):
+    def _fin_impl(lap0_e, coarse_e, starts, rh):
         return _finalize_band(
             lap0_e, coarse_e, starts[0, 0], starts[0, 1], starts[0, 2],
             rh[0], band_src_h, band_coarse_h, sb, out_w, to_uint8,
         )
+
+    fin = _cached_fin
+    if fin is None:
+        fin = jax.jit(_fin_impl)
+        _PROGRAM_CACHE[fin_key] = fin
 
     # Window starts in ext-local coordinates (ext row 0 = global row
     # d*own - halo_top); up_offset is frame-independent (2:1 row map).

@@ -30,6 +30,20 @@ from ..tiling.geometry import TileLayout
 
 __all__ = ["sharded_weighted_merge", "sharded_laplacian_blend"]
 
+# shard_map programs are built per (layout, mesh, levels, ...) config and
+# memoized JITTED: an un-jitted shard_map call re-traces and re-lowers its
+# whole unrolled accumulation loop on EVERY invocation (~18 s per blend on
+# the 8-virtual-device CPU mesh, and seconds of host time per job on TPU);
+# with the jit cache it is trace-once, dispatch-thereafter.
+_PROGRAM_CACHE: dict = {}
+
+
+def _layout_key(layout: TileLayout) -> tuple:
+    return (
+        layout.ny, layout.nx, layout.block, layout.step,
+        layout.padded_w, np.asarray(layout.positions).tobytes(),
+    )
+
 
 def _accumulate(tiles, weights, pos_rel, hl, w_pad, vary_axis=None):
     n, b, _, c = tiles.shape
@@ -91,22 +105,29 @@ def sharded_weighted_merge(
 
     perm_down = [(d, d + 1) for d in range(s - 1)]
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
-    )
-    def merge(local_tiles, local_w, local_pos):
-        canvas, wsum = _accumulate(local_tiles, local_w, local_pos, hl, w_pad, vary_axis=axis)
-        if s > 1 and overlap > 0:
-            spill_c = canvas[own:hl]
-            spill_w = wsum[own:hl]
-            recv_c = jax.lax.ppermute(spill_c, axis, perm_down)
-            recv_w = jax.lax.ppermute(spill_w, axis, perm_down)
-            canvas = canvas.at[0:overlap].add(recv_c)
-            wsum = wsum.at[0:overlap].add(recv_w)
-        return canvas / jnp.maximum(wsum, 1e-8)
+    cache_key = ("merge", _layout_key(layout), mesh, axis,
+                 tiles.shape, np.dtype(tiles.dtype).str)
+    merge = _PROGRAM_CACHE.get(cache_key)
+    if merge is None:
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+        def merge(local_tiles, local_w, local_pos):
+            canvas, wsum = _accumulate(local_tiles, local_w, local_pos, hl, w_pad, vary_axis=axis)
+            if s > 1 and overlap > 0:
+                spill_c = canvas[own:hl]
+                spill_w = wsum[own:hl]
+                recv_c = jax.lax.ppermute(spill_c, axis, perm_down)
+                recv_w = jax.lax.ppermute(spill_w, axis, perm_down)
+                canvas = canvas.at[0:overlap].add(recv_c)
+                wsum = wsum.at[0:overlap].add(recv_w)
+            return canvas / jnp.maximum(wsum, 1e-8)
+
+        _PROGRAM_CACHE[cache_key] = merge
 
     bands = merge(tiles, weights, rel)  # [s*hl, w_pad, c] globally
     # Strip the non-owned tail rows of every band but the last.
@@ -223,6 +244,15 @@ def sharded_laplacian_blend(
     in_specs = tuple([P(axis)] * (3 + 2 * levels))
     out_specs = (P(axis), P(axis)) if deferred else P(axis)
 
+    cache_key = ("blend", _layout_key(layout), mesh, axis, levels, deferred,
+                 tiles.shape, np.dtype(tiles.dtype).str)
+    blend = _PROGRAM_CACHE.get(cache_key)
+    if blend is not None:
+        return _finish_blend(blend, tiles, rel, dev_rows, py, px, levels,
+                             deferred, mesh, axis, s_sz, own, hl, own_i, hl_i,
+                             w_pad, cw_i)
+
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     def blend(local_tiles, local_pos, dev_row, *profs):
         pys = profs[:levels]
@@ -294,6 +324,14 @@ def sharded_laplacian_blend(
             return canvas_lap[0], x
         return x
 
+    _PROGRAM_CACHE[cache_key] = blend
+    return _finish_blend(blend, tiles, rel, dev_rows, py, px, levels,
+                         deferred, mesh, axis, s_sz, own, hl, own_i, hl_i,
+                         w_pad, cw_i)
+
+
+def _finish_blend(blend, tiles, rel, dev_rows, py, px, levels, deferred,
+                  mesh, axis, s_sz, own, hl, own_i, hl_i, w_pad, cw_i):
     prof_args = [jnp.asarray(p) for p in py[:levels]] + [jnp.asarray(p) for p in px[:levels]]
     if deferred:
         from .finalize import ShardedCanvas

@@ -115,20 +115,36 @@ def test_poisson_solver_inverts_laplacian(rng):
     np.testing.assert_allclose(sol, u, atol=1e-4)
 
 
-def test_seamless_clone_modes(rng):
+def _clone_fixture(rng):
     dst = np.full((64, 64, 3), 50.0, np.float32)
     src = np.full((64, 64, 3), 200.0, np.float32)
     src[20:40, 20:40] += rng.normal(0, 5, (20, 20, 3))
     mask = np.zeros((64, 64), np.float32)
     mask[16:48, 16:48] = 1
+    return dst, src, mask
+
+
+def _check_clone(out):
+    # boundary clamped to dst
+    np.testing.assert_allclose(out[15, :, :], 50.0, atol=1e-3)
+    # interior texture preserved (gradients), base level adapted to dst
+    assert out[24:40, 24:40].std() > 1.0
+    assert out[30, 30, 0] < 150  # level pulled toward dst
+
+
+def test_seamless_clone_normal(rng):
+    dst, src, mask = _clone_fixture(rng)
+    _check_clone(BlendingModule().poisson_fusion(dst, src, mask, PoissonMode.NORMAL))
+
+
+@pytest.mark.slow
+def test_seamless_clone_mixed_monochrome(rng):
+    # each mode is its own solver program (~2 s CPU compile apiece); NORMAL
+    # guards the path in the default run
+    dst, src, mask = _clone_fixture(rng)
     bm = BlendingModule()
-    for mode in (PoissonMode.NORMAL, PoissonMode.MIXED, PoissonMode.MONOCHROME):
-        out = bm.poisson_fusion(dst, src, mask, mode)
-        # boundary clamped to dst
-        np.testing.assert_allclose(out[15, :, :], 50.0, atol=1e-3)
-        # interior texture preserved (gradients), base level adapted to dst
-        assert out[24:40, 24:40].std() > 1.0
-        assert out[30, 30, 0] < 150  # level pulled toward dst
+    for mode in (PoissonMode.MIXED, PoissonMode.MONOCHROME):
+        _check_clone(bm.poisson_fusion(dst, src, mask, mode))
 
 
 def test_seam_detection_on_constructed_seam(rng):

@@ -48,12 +48,20 @@ def test_render_class_deterministic_distinct():
     assert 0.0 <= a.min() and a.max() <= 255.0
 
 
-def test_sampler_determinism_and_checkpoint_roundtrip(tmp_path):
+def test_sampler_shape_and_determinism_tiny():
+    # zero params via eval_shape: a real `init` is ~15 s of eager-op CPU
+    # compiles and the sampler's determinism/range/shape contract doesn't
+    # depend on param values (trained-model behavior = slow test below;
+    # checkpoint save/restore also slow — orbax costs ~25 s of per-array
+    # tensorstore overhead on this 1-core box)
     m = CondUNet(base=8, depth=1)
-    p = m.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
-        jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+    shapes = jax.eval_shape(
+        lambda: m.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+            jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+        )
     )
+    p = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     s1 = sample_ark(m, p, 2, jax.random.PRNGKey(7), size=32, steps=3)
     s2 = sample_ark(m, p, 2, jax.random.PRNGKey(7), size=32, steps=3)
     s3 = sample_ark(m, p, 2, jax.random.PRNGKey(8), size=32, steps=3)
@@ -61,29 +69,12 @@ def test_sampler_determinism_and_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     assert float(jnp.abs(s1 - s3).mean()) > 0.1  # seed changes the sample
     assert 0.0 <= float(s1.min()) and float(s1.max()) <= 255.0
-    # save -> build_ark restore (the packaged-checkpoint loader path)
-    from srs_tpu.models.train import save_checkpoint
-
-    save_checkpoint(p, "ark_gen", 1, str(tmp_path))
-    clear_ark_cache()
-    try:
-        _, restored, trained = build_ark(
-            checkpoint_dir=str(tmp_path), base=8, depth=1
-        )
-        assert trained
-        np.testing.assert_allclose(
-            np.asarray(jax.tree_util.tree_leaves(restored)[0]),
-            np.asarray(jax.tree_util.tree_leaves(p)[0]),
-        )
-    finally:
-        clear_ark_cache()
 
 
 @pytest.mark.slow
 def test_train_ark_tiny_and_checkpoint_roundtrip(tmp_path):
     # the optimizer-step scan is a ~30 s CPU compile; the trainer itself is
-    # exercised for real on TPU (scripts/train_ark.py) and the loader path
-    # by the default-run roundtrip test above
+    # exercised for real on TPU (scripts/train_ark.py)
     # 8 imgs/class at 32 px, 4 steps: the full train->save->build_ark path
     x = np.stack([render_class(i, c, 32) for c in range(8) for i in range(2)])
     y = np.asarray([c for c in range(8) for _ in range(2)], np.int32)

@@ -401,7 +401,7 @@ def test_packaged_checkpoints_beat_bicubic():
         for name in ("espcn", "edsr_m", "edsr_l", "rcan"):
             m, p = build_model(name, 2)
             assert is_pretrained(name, 2), f"packaged {name}_x2 failed to load"
-            stats = eval_on_holdout(m, p, 2, n=2, size=160)
+            stats = eval_on_holdout(m, p, 2, n=2, size=128)
             floor = max(stats["psnr_bicubic"], stats["psnr_bicubic_ibp"])
             assert stats["psnr_net"] >= floor + 0.5, (name, stats)
     finally:

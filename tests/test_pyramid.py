@@ -50,10 +50,10 @@ def test_pyr_up_odd_dst_matches_cv2(rng, sshape, dst):
 
 
 def test_laplacian_levels_match_cv2(rng):
-    # 5 levels reach odd dstsize rounding by level 2 (123 -> 62 -> 31 -> 16
-    # -> 8); a 6th level only adds another CPU compile
+    # 4 levels reach odd dstsize rounding by level 2 (123 -> 62 -> 31 -> 16);
+    # deeper levels only add CPU compiles
     x = rng.random((123, 97, 3), dtype=np.float32)
-    jl = P.build_laplacian_pyramid(jnp.asarray(x), 5)
+    jl = P.build_laplacian_pyramid(jnp.asarray(x), 4)
     g = [x]
     for _ in range(len(jl) - 1):
         g.append(cv2.pyrDown(g[-1]))
@@ -65,7 +65,7 @@ def test_laplacian_levels_match_cv2(rng):
 
 def test_laplacian_collapse_roundtrip(rng):
     x = rng.random((100, 120, 3), dtype=np.float32)
-    lap = P.build_laplacian_pyramid(jnp.asarray(x), 5)
+    lap = P.build_laplacian_pyramid(jnp.asarray(x), 4)
     rec = np.asarray(P.collapse_laplacian_pyramid(lap))
     np.testing.assert_allclose(rec, x, atol=1e-6, rtol=0)
 

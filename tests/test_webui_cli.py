@@ -87,6 +87,10 @@ def test_cli_new_flags():
     p.parse_args(["process", "i", "o", "--blend", "poisson"])  # accepted
     args = p.parse_args(["train", "--synthetic", "--corpus-n", "8"])
     assert args.synthetic and args.corpus_n == 8
+    args = p.parse_args(["generate", "a weave pattern", "o.png",
+                         "--size", "1K", "--steps", "8", "--category", "fashion"])
+    assert args.prompt == "a weave pattern" and args.size == "1K"
+    assert args.steps == 8 and args.category == "fashion"
 
 
 def test_pipeline_cancel(tmp_path):
@@ -154,9 +158,9 @@ def test_result_export_reencodes(tmp_path):
 def test_cli_warmup_small(capsys):
     from srs_tpu.cli import main
 
-    # shapes shared with test_cli_process_small so the in-process jit cache
-    # already holds most programs; warmup's QA pass is its own new work
-    rc = main(["warmup", "--source", "80x60", "--target", "160x120",
+    # shapes shared with test_pipeline's _cfg (120x160 -> 320x240, block 64,
+    # QA on): in the full suite every program incl. QA is already jit-cached
+    rc = main(["warmup", "--source", "160x120", "--target", "320x240",
                "--provider", "bicubic", "--block-size", "64"])
     assert rc == 0
     assert "warmed" in capsys.readouterr().out
