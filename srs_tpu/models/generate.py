@@ -89,7 +89,13 @@ class ARKImageGenerator:
             try:
                 img, meta = self._generate_learned(prompt, cfg, seed, (w, h))
             except Exception:
-                img = None  # fall back to the procedural synthesizer
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "learned ARK backend failed; serving procedural fallback",
+                    exc_info=True,
+                )
+                img = None
         if img is None:
             img = _procedural(prompt, seed, (w, h))
             meta = {"model": "procedural-v1"}
