@@ -398,7 +398,7 @@ def test_packaged_checkpoints_beat_bicubic():
 
     clear_param_cache()
     try:
-        for name in ("espcn", "edsr_m", "edsr_l", "rcan"):
+        for name in ("espcn", "edsr_m", "edsr_l", "edsr_xl", "rcan"):
             m, p = build_model(name, 2)
             assert is_pretrained(name, 2), f"packaged {name}_x2 failed to load"
             stats = eval_on_holdout(m, p, 2, n=2, size=128)
