@@ -34,6 +34,7 @@ CONFIGS = [
     ("edsr_l", 3, 40000),
     ("edsr_xl", 2, 40000),
     ("edsr_xl", 3, 40000),
+    ("edsr_xl", 4, 40000),
     ("edsr_l_robust", 2, 40000, "robust"),
     ("edsr_l_robust", 3, 40000, "robust"),
 ]
