@@ -126,7 +126,18 @@ def main() -> None:
         out_bytes = w * h * 3 * (cfg.bit_depth // 8)
         result["save_link_MBps"] = round(out_bytes / 1e6 / save_s, 1)
         if nbatch == 1:
-            result["compute_stages_s"] = round(elapsed - save_s, 2)
+            compute_s = elapsed - save_s
+            result["compute_stages_s"] = round(compute_s, 2)
+            # Link-normalized headline (VERDICT r3 #6): `value` moves with
+            # tunnel weather because the save stage ships ~250 MB over a
+            # 0.3-30 MB/s link that is not the chip's. value_compute_bound
+            # is output MP over the on-device stages only (tiling + SR +
+            # blend + QA) — the chip-throughput number BASELINE.md's north
+            # star actually compares, stable across rounds.
+            result["value_compute_bound"] = round(mp / max(compute_s, 1e-6), 3)
+            result["vs_baseline_compute_bound"] = round(
+                mp / max(compute_s, 1e-6) / BASELINE_MP_PER_SEC, 1
+            )
     # MFU: analytic conv FLOPs of the SR ladder that actually ran (routing/
     # degradation-aware; from pipeline.last_run_info) over the measured SR
     # stage time. IBP/blend excluded — bandwidth-bound, not MXU work.

@@ -61,6 +61,21 @@ class ARKImageResult:
     metadata: Dict[str, Any] = field(default_factory=dict)
 
 
+def _force_procedural(cfg: "ARKImageConfig") -> bool:
+    """True when the procedural backend is explicitly requested.
+
+    Two routes (ADVICE r3): the config's ``model`` field — the knob the
+    reference API exposes (ark_api_module.py:17-25) — selects the backend
+    when it names the procedural synthesizer; and the SRS_ARK_PROCEDURAL
+    env var, parsed as a boolean so ``=0`` does NOT force procedural.
+    """
+    if (cfg.model or "").lower().startswith("procedural"):
+        return True
+    return os.environ.get("SRS_ARK_PROCEDURAL", "").strip().lower() in (
+        "1", "true", "yes", "on",
+    )
+
+
 def _resolve_size(size: str) -> Tuple[int, int]:
     if size in _SIZES:
         return _SIZES[size]
@@ -85,7 +100,7 @@ class ARKImageGenerator:
         if seed is None:
             seed = int(hashlib.md5(prompt.encode()).hexdigest()[:8], 16) % (2**31)
         img = meta = None
-        if not os.environ.get("SRS_ARK_PROCEDURAL"):
+        if not _force_procedural(cfg):
             try:
                 img, meta = self._generate_learned(prompt, cfg, seed, (w, h))
             except Exception:

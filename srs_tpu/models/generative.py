@@ -422,6 +422,10 @@ def train_ark(
             log_fn(min(start + scan_chunk, steps), loss)
     if checkpoint_dir is not None:
         save_checkpoint(ema, "ark_gen", 1, checkpoint_dir)
+        # Evict build_ark's negative cache (ADVICE r3): a same-process
+        # train-then-generate flow must see the new checkpoint, not a
+        # memoized params=None from before training.
+        clear_ark_cache()
     return module, ema, loss
 
 

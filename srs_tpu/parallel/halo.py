@@ -35,7 +35,36 @@ __all__ = ["sharded_weighted_merge", "sharded_laplacian_blend"]
 # whole unrolled accumulation loop on EVERY invocation (~18 s per blend on
 # the 8-virtual-device CPU mesh, and seconds of host time per job on TPU);
 # with the jit cache it is trace-once, dispatch-thereafter.
-_PROGRAM_CACHE: dict = {}
+
+
+class _LRUProgramCache(dict):
+    """Bounded program memo (ADVICE r3): a long-lived server seeing many
+    distinct canvas/tile geometries must not accumulate compiled shard_map
+    programs (each pins Mesh/device references) for the process lifetime.
+    Plain dict interface so halo.py/finalize.py call sites stay unchanged;
+    recency is refreshed on .get hits, oldest entry evicted past the cap.
+    """
+
+    def __init__(self, maxsize: int = 48):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def get(self, key, default=None):
+        if key in self:
+            val = super().pop(key)
+            super().__setitem__(key, val)  # move to MRU end
+            return val
+        return default
+
+    def __setitem__(self, key, value):
+        if key in self:
+            super().pop(key)
+        super().__setitem__(key, value)
+        while len(self) > self.maxsize:
+            super().pop(next(iter(self)))
+
+
+_PROGRAM_CACHE: dict = _LRUProgramCache()
 
 
 def _layout_key(layout: TileLayout) -> tuple:
