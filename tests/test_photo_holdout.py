@@ -50,6 +50,38 @@ def test_grace_hopper_not_in_training_sources():
     assert not hits, f"holdout photo referenced inside the package: {hits}"
 
 
+def test_eval_holdout_sources_disjoint_from_training_pool():
+    """Round 4: the 3 EVAL_HOLDOUT_SOURCES (flower + both wood textures)
+    must never appear in the training pool accessors that feed corpora and
+    QA fitting — they are the multi-image eval panel (VERDICT r3 #2)."""
+    from srs_tpu.models.photo_data import (EVAL_HOLDOUT_SOURCES,
+                                           eval_photo_paths, photo_paths)
+
+    train, evalp = set(photo_paths()), set(eval_photo_paths())
+    assert len(EVAL_HOLDOUT_SOURCES) >= 3
+    assert evalp, "eval panel sources missing from this install"
+    assert not (train & evalp), f"eval images leak into training: {train & evalp}"
+    for frag in ("flower.jpg", "wood1.png", "darkwood.png"):
+        assert all(frag not in p for p in train), f"{frag} in training pool"
+        assert any(frag in p for p in evalp), f"{frag} missing from eval panel"
+
+
+def test_eval_panel_loads_four_common_shape_images():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "photo_eval", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "photo_eval.py"))
+    pe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pe)
+    panel = pe.load_panel()
+    names = [t for t, _ in panel]
+    assert names == ["portrait", "flower", "wood", "darkwood"]
+    for _, hr in panel:
+        assert hr.shape == (pe.PANEL_H, pe.PANEL_W, 3)
+        assert pe.PANEL_H % 12 == 0 and pe.PANEL_W % 12 == 0
+
+
 @pytest.mark.parametrize("name,min_delta", [("espcn", 0.8), ("edsr_l", 0.8)])
 def test_packaged_nets_beat_bicubic_on_real_photo(name, min_delta):
     """Packaged x2 nets must add real detail on a real photograph, not
