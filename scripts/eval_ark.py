@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--guidance", type=float, default=2.0)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--size", type=int, default=None,
+                    help="sample size (default: the checkpoint's native "
+                    "trained size from ark_meta.json)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-write", action="store_true")
     args = ap.parse_args()
@@ -64,8 +67,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    from srs_tpu.models.generative import (ARK_CLASSES, build_ark, render_class,
-                                           sample_ark)
+    from srs_tpu.models.generative import (ARK_CLASSES, ark_meta, build_ark,
+                                           render_class, sample_ark)
     from srs_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -73,10 +76,12 @@ def main():
     if not trained:
         print("no packaged ark_gen checkpoint", file=sys.stderr)
         return 1
+    size = args.size or ark_meta(args.checkpoint_dir)["size"]
+    print(f"eval at {size}px (native trained size)")
 
     ncls = len(ARK_CLASSES)
     real = np.stack(
-        [features(render_class(1000 + i, c, 64))
+        [features(render_class(1000 + i, c, size))
          for c in range(ncls) for i in range(args.real_n)]
     ).reshape(ncls, args.real_n, -1)
     mu = real.reshape(-1, real.shape[-1]).mean(0)
@@ -87,7 +92,8 @@ def main():
     correct, div_s, div_r = 0, [], []
     for c in range(ncls):
         s = sample_ark(module, params, c, jax.random.PRNGKey(7000 + c),
-                       steps=args.steps, guidance=args.guidance, batch=args.k)
+                       size=size, steps=args.steps, guidance=args.guidance,
+                       batch=args.k)
         fz = (np.stack([features(np.asarray(x)) for x in np.asarray(s)]) - mu) / sd
         pred = np.argmin(((fz[:, None] - cent[None]) ** 2).sum(-1), axis=1)
         hits = int((pred == c).sum())
@@ -114,7 +120,7 @@ def main():
             {"class_accuracy": acc, "chance": 1 / ncls,
              "diversity_ratio_vs_real": div_ratio,
              "eval_k": args.k, "eval_steps": args.steps,
-             "eval_guidance": args.guidance}
+             "eval_guidance": args.guidance, "eval_size": size}
         )
         json.dump(data, open(path, "w"), indent=1, sort_keys=True)
         print(f"EVAL.json updated: {path}")

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None,
                     help="checkpoint dir (default: ~/.cache/srs_tpu/checkpoints)")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start from an ark_gen_x1 checkpoint dir "
+                    "(params are resolution-agnostic: a 64px model can "
+                    "seed a 128px run)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -64,6 +68,7 @@ def main():
         base=args.base, batch=args.batch, lr=args.lr,
         scan_chunk=args.scan_chunk, seed=args.seed,
         checkpoint_dir=out, log_fn=log, corpus=corpus,
+        init_from=args.init_from,
     )
     dt = time.time() - t0
     print(f"[ark] done: final loss {loss:.5f} in {dt:.0f}s -> {out}/ark_gen_x1")

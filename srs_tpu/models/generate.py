@@ -130,7 +130,8 @@ class ARKImageGenerator:
         import jax
         import jax.numpy as jnp
 
-        from .generative import ARK_CLASSES, build_ark, class_for_prompt, sample_ark
+        from .generative import (ARK_CLASSES, ark_meta, build_ark,
+                                 class_for_prompt, sample_ark)
 
         module, params, trained = build_ark()
         if not trained:
@@ -142,8 +143,10 @@ class ARKImageGenerator:
         # (default 7.5); this small model saturates lower, so map it into
         # [1, 4] around the same default.
         g = float(np.clip(1.0 + (cfg.guidance_scale - 1.0) * 0.25, 1.0, 4.0))
+        native = int(cfg.extra.get("base_size", ark_meta()["size"]))
         base = sample_ark(
-            module, params, cls, jax.random.PRNGKey(seed), steps=steps, guidance=g
+            module, params, cls, jax.random.PRNGKey(seed), size=native,
+            steps=steps, guidance=g
         )
         side = int(base.shape[1])
         total = max(w, h) / side

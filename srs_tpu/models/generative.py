@@ -352,10 +352,16 @@ def train_ark(
     checkpoint_dir: Optional[str] = None,
     log_fn=None,
     corpus: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    init_from: Optional[str] = None,
 ):
     """Train the conditional diffusion model; returns (module, ema_params,
     final_loss). Saves the EMA params as checkpoint ``ark_gen_x1`` when
-    ``checkpoint_dir`` is given (registry/StandardCheckpointer layout)."""
+    ``checkpoint_dir`` is given (registry/StandardCheckpointer layout),
+    plus an ``ark_meta.json`` sidecar recording the trained sample size
+    (the conv/attention params are resolution-agnostic, so the loader
+    needs the native size recorded out-of-band). ``init_from`` warm-starts
+    from a previously saved ``ark_gen_x1`` — e.g. continuing a 128 px run,
+    or growing resolution from a 64 px model (same param tree)."""
     import optax
 
     from .train import make_optimizer, save_checkpoint
@@ -371,6 +377,15 @@ def train_ark(
         jnp.zeros((1,), jnp.float32),
         jnp.zeros((1,), jnp.int32),
     )
+    if init_from is not None:
+        from .registry import _try_load_checkpoint
+
+        loaded = _try_load_checkpoint("ark_gen", 1, init_from, module,
+                                      fallback_packaged=False,
+                                      init_fn=lambda: params)
+        if loaded is None:
+            raise FileNotFoundError(f"no ark_gen_x1 checkpoint in {init_from}")
+        params = loaded
     tx = make_optimizer(lr)
     opt_state = tx.init(params)
     x_d = jax.device_put((jnp.asarray(x_np) / 127.5) - 1.0)
@@ -422,6 +437,10 @@ def train_ark(
             log_fn(min(start + scan_chunk, steps), loss)
     if checkpoint_dir is not None:
         save_checkpoint(ema, "ark_gen", 1, checkpoint_dir)
+        import json
+
+        with open(os.path.join(checkpoint_dir, "ark_meta.json"), "w") as f:
+            json.dump({"size": size, "base": base, "depth": depth}, f)
         # Evict build_ark's negative cache (ADVICE r3): a same-process
         # train-then-generate flow must see the new checkpoint, not a
         # memoized params=None from before training.
@@ -488,16 +507,23 @@ def clear_ark_cache() -> None:
 
 def build_ark(
     checkpoint_dir: Optional[str] = None,
-    base: int = 64,
-    size: int = 64,
-    depth: int = 2,
+    base: Optional[int] = None,
+    size: Optional[int] = None,
+    depth: Optional[int] = None,
 ) -> Tuple[Any, Any, bool]:
     """(module, params, trained). Restores the packaged ``ark_gen_x1``
     checkpoint (user ``checkpoint_dir`` first, then the packaged models/
-    checkpoints directory). When absent, ``params`` is **None** and
-    trained is False — unlike the SR nets there is no useful untrained
-    generator, so no init is materialized (a full-size init costs ~15 s
-    of CPU compile just to answer is_ark_trained)."""
+    checkpoints directory). base/size/depth default to the checkpoint's
+    ``ark_meta.json`` sidecar (64/64/2 for pre-sidecar checkpoints), so a
+    128 px-trained package loads without callers changing. When absent,
+    ``params`` is **None** and trained is False — unlike the SR nets there
+    is no useful untrained generator, so no init is materialized (a
+    full-size init costs ~15 s of CPU compile just to answer
+    is_ark_trained)."""
+    meta = ark_meta(checkpoint_dir)
+    base = meta["base"] if base is None else base
+    size = meta["size"] if size is None else size
+    depth = meta["depth"] if depth is None else depth
     key = (checkpoint_dir, base, depth)
     if key in _CACHE:
         return _CACHE[key]
@@ -522,3 +548,28 @@ def build_ark(
 
 def is_ark_trained(checkpoint_dir: Optional[str] = None) -> bool:
     return build_ark(checkpoint_dir)[2]
+
+
+def ark_meta(checkpoint_dir: Optional[str] = None) -> Dict[str, int]:
+    """Metadata of the checkpoint build_ark would load: the trained sample
+    size/base/depth from the ``ark_meta.json`` sidecar (same search order
+    as the params — user dir first, then packaged). Pre-round-4
+    checkpoints have no sidecar and default to the original 64 px."""
+    import json
+
+    from .registry import PACKAGED_CHECKPOINT_DIR
+
+    for d in (checkpoint_dir, PACKAGED_CHECKPOINT_DIR):
+        if not d:
+            continue
+        if not os.path.isdir(os.path.join(os.path.expanduser(d), "ark_gen_x1")):
+            continue
+        meta = os.path.join(os.path.expanduser(d), "ark_meta.json")
+        if os.path.isfile(meta):
+            try:
+                with open(meta) as f:
+                    return {k: int(v) for k, v in json.load(f).items()}
+            except Exception:
+                pass
+        return {"size": 64, "base": 64, "depth": 2}
+    return {"size": 64, "base": 64, "depth": 2}

@@ -85,13 +85,25 @@ def test_train_ark_tiny_and_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(loss)
     clear_ark_cache()
     try:
-        module, params, trained = build_ark(
-            checkpoint_dir=str(tmp_path), base=8, depth=1
-        )
-        assert trained
+        # the sidecar records the trained geometry, and build_ark's
+        # meta-defaulted construction matches the explicit one
+        from srs_tpu.models.generative import ark_meta
+
+        meta = ark_meta(str(tmp_path))
+        assert meta == {"size": 32, "base": 8, "depth": 1}
+        module, params, trained = build_ark(checkpoint_dir=str(tmp_path))
+        assert trained and module.base == 8 and module.depth == 1
         k0 = jax.tree_util.tree_leaves(params)[0]
         e0 = jax.tree_util.tree_leaves(ema)[0]
         np.testing.assert_allclose(np.asarray(k0), np.asarray(e0))
+        # warm-start re-train from the saved checkpoint converges the
+        # same tree shapes (init_from path)
+        clear_ark_cache()
+        _, ema2, loss2 = train_ark(
+            steps=2, size=32, base=8, depth=1, batch=4, scan_chunk=2,
+            corpus=(x.astype(np.float32), y), init_from=str(tmp_path),
+        )
+        assert np.isfinite(loss2)
     finally:
         clear_ark_cache()
 
@@ -108,19 +120,25 @@ def test_generate_learned_when_packaged(monkeypatch):
         pytest.skip("no packaged ark_gen checkpoint")
     from srs_tpu.models.generate import ARKImageConfig, ARKImageGenerator
 
+    from srs_tpu.models.generative import ark_meta
+
     gen = ARKImageGenerator()
     # fast SR tier: the espcn x2 tail compiles in seconds on CPU where the
-    # default edsr_l costs ~30 s for identical coverage of the wiring
+    # default edsr_l costs ~30 s for identical coverage of the wiring.
+    # Target = 2x the checkpoint's native base so the SR ladder is
+    # exercised whatever resolution the packaged model was trained at.
+    native = ark_meta()["size"]
+    tgt = f"{2 * native}x{2 * native}"
     extra = {"steps": 4, "sr_provider": "fast"}
-    cfg = ARKImageConfig(size="128x128", extra=extra)
+    cfg = ARKImageConfig(size=tgt, extra=extra)
     r1 = gen.generate("product shot of a watch", cfg)
     assert r1.metadata["model"] == "ark_gen-ddim"
-    assert np.asarray(r1.image).shape == (128, 128, 3)
+    assert np.asarray(r1.image).shape == (2 * native, 2 * native, 3)
     assert r1.metadata["sr_ladder"] and int(np.prod(r1.metadata["sr_ladder"])) == 2
     r2 = gen.generate("product shot of a watch", cfg)
     np.testing.assert_array_equal(np.asarray(r1.image), np.asarray(r2.image))
     # a different class changes the pixels (same seed forced)
-    cfg3 = ARKImageConfig(size="128x128", seed=r1.seed, extra=dict(extra))
+    cfg3 = ARKImageConfig(size=tgt, seed=r1.seed, extra=dict(extra))
     r3 = gen.generate("a text poster page", cfg3)
     assert r3.metadata["class"] != r1.metadata["class"]
     assert float(np.abs(np.asarray(r3.image, np.float32)
