@@ -166,6 +166,27 @@ def main() -> None:
     hcands = [render_photo(SEED0 + 50_000 + i, 320) for i in range(24)]
     hcands.sort(key=_sharpness, reverse=True)
     hold = hcands[:12]
+    # Round 4 (VERDICT r3 #3): anchor on the sharpest REAL crops too, not
+    # renders alone — "clean ≈ 2.5" must be a property of real photographs
+    # for the calibrated scale to issue verdicts on photo content. Crops
+    # come from the TRAINING pool (never the eval panel).
+    real_crops = []
+    import cv2 as _cv2
+
+    from srs_tpu.models.photo_data import load_photos
+
+    rng = np.random.default_rng(SEED0)
+    for p in load_photos():
+        h, w = p.shape[:2]
+        if min(h, w) < 320:
+            continue
+        for _ in range(3):
+            yy = int(rng.integers(0, h - 320 + 1))
+            xx = int(rng.integers(0, w - 320 + 1))
+            real_crops.append(np.ascontiguousarray(
+                p[yy:yy + 320, xx:xx + 320], np.float32))
+    real_crops.sort(key=_sharpness, reverse=True)
+    hold = hold + real_crops[: max(len(real_crops) // 2, 8)]
     raw_clean = [raw_niqe(im, model) for im in hold]
     raw_sev = [raw_niqe(distort(im, "blur", 3), model) for im in hold]
     raw_sev += [raw_niqe(distort(im, "noise", 3), model) for im in hold]

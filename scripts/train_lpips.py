@@ -34,7 +34,13 @@ def build_pairs(n_imgs: int, size: int, seed0: int):
     memory pressure) — a lost 90-minute fleet budget must not repeat it."""
     import numpy as np
 
-    cache = f"/tmp/srs_lpips_pairs_v2_{n_imgs}_{size}_{seed0}.npz"
+    # keyed on the bundled-photo set: the v3 mix draws real photo mosaics,
+    # so shrinking the training pool (round-4 eval holdout) must
+    # invalidate stale pairs
+    from srs_tpu.models.photo_data import photo_paths
+
+    cache = (f"/tmp/srs_lpips_pairs_v2_{n_imgs}_{size}_{seed0}"
+             f"_p{len(photo_paths())}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         return z["refs"], z["lows"], z["highs"]

@@ -165,6 +165,23 @@ class ARKImageGenerator:
             from ..ops.resize import resize_bicubic
 
             base = jnp.clip(resize_bicubic(base, h, w), 0, 255)
+        refined = False
+        if cfg.extra.get("refine") and max(w, h) > side:
+            # native-resolution detail pass (SDEdit tiles at the trained
+            # size): synthesized high frequencies where the SR ladder
+            # could only interpolate (reference returns native-2K samples,
+            # ark_api_module.py:42-80)
+            from .generative import refine_ark
+
+            base = refine_ark(
+                module, params, base[0], cls,
+                jax.random.PRNGKey(seed ^ 0x5EED),
+                t0=float(cfg.extra.get("refine_t0", 0.22)),
+                steps=int(cfg.extra.get("refine_steps", 8)),
+                guidance=g if g <= 2.0 else 1.5,
+                tile=side,
+            )[None]
+            refined = True
         img = np.asarray(base[0], np.float32)
         return img, {
             "model": "ark_gen-ddim",
@@ -173,6 +190,7 @@ class ARKImageGenerator:
             "steps": steps,
             "base_size": side,
             "sr_ladder": ladder,
+            "refined": refined,
         }
 
 
