@@ -136,7 +136,10 @@ def scale_ladder(
     scales with shipped/loaded weights), each untrained step multiplies the
     score by 4: an untrained step is exact bicubic and adds zero learned
     detail, so e.g. at 4x the trained [2, 2] ladder beats a zero-init [4]
-    regardless of pixel cost. Returns [] when total <= 1.
+    regardless of pixel cost. Ties prefer FEWER steps (x1.02/step): a
+    direct trained x4 head runs the conv body once where the [2, 2]
+    ladder pays it twice (round-3h measurement). Returns [] when
+    total <= 1.
     """
     if total <= 1.0:
         return []
@@ -153,7 +156,7 @@ def scale_ladder(
             for st in steps:
                 if st not in trained:
                     s *= 4.0
-        return s
+        return s * (1.02 ** len(steps))
 
     def rec(prod: float, steps: list):
         nonlocal best
