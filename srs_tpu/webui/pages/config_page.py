@@ -55,10 +55,11 @@ def render() -> None:
         "Provider", providers,
         index=providers.index(get_state("model_version", "quality")),
     )
-    nets = ["edsr_m", "edsr_l", "edsr_l_robust", "rcan", "espcn"]
+    nets = ["edsr_xl", "edsr_l", "edsr_l_robust", "edsr_m", "rcan", "espcn"]
+    cur_net = get_state("quality_model", "edsr_xl")
     qnet = st.selectbox(
         "Quality net", nets,
-        index=nets.index(get_state("quality_model", "edsr_l")),
+        index=nets.index(cur_net) if cur_net in nets else 0,
     )
     fusion = st.selectbox(
         "Fusion algorithm",
