@@ -167,8 +167,9 @@ def main() -> None:
             from srs_tpu.models.sr_module import _dihedral_ensemble
             from srs_tpu.models.train import zssr_finetune
 
-            prior = ("edsr_l" if is_pretrained("edsr_l", s, args.checkpoint_dir)
-                     else "espcn")
+            prior = next(
+                (m for m in ("edsr_xl", "edsr_l")
+                 if is_pretrained(m, s, args.checkpoint_dir)), "espcn")
             module, params = build_model(prior, s, args.checkpoint_dir)
             tuned = zssr_finetune(module, params, np.asarray(lr_b[0]), scale=s,
                                   steps=args.zssr_steps, lr=1e-4)
