@@ -65,7 +65,7 @@ def main() -> None:
         overlap_ratio=0.2,
         target_resolution="100MP",
         provider=os.environ.get("SRS_BENCH_PROVIDER", "quality"),
-        quality_model=os.environ.get("SRS_BENCH_QMODEL", "edsr_l"),
+        quality_model=os.environ.get("SRS_BENCH_QMODEL", "edsr_xl"),
         ibp_steps=int(os.environ.get("SRS_BENCH_IBP", "4")),
         bit_depth=int(os.environ.get("SRS_BENCH_BITDEPTH", "8")),
         enable_qa=os.environ.get("SRS_BENCH_QA", "1") == "1",

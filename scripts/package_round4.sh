@@ -9,8 +9,8 @@
 set -eu
 cd "$(dirname "$0")/.."
 CKPT=srs_tpu/models/checkpoints
-P70=/tmp/r4_p70
-BASE=/tmp/r4_base
+P70=${R4_P70:-/root/repo/.r4/p70}
+BASE=${R4_BASE:-/root/repo/.r4/base}
 
 NAMES=${*:-edsr_xl_x2 edsr_xl_x3 edsr_xl_x4 edsr_l_x2 edsr_l_x3 espcn_x2 edsr_l_robust_x2 edsr_l_robust_x3}
 

@@ -215,7 +215,7 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--blend", default="laplacian",
                     choices=["laplacian", "multi_band", "weighted", "feather",
                              "gradient_domain", "poisson"])
-    pp.add_argument("--quality-model", default="edsr_l",
+    pp.add_argument("--quality-model", default="edsr_xl",
                     choices=["edsr_m", "edsr_l", "edsr_l_robust", "rcan", "espcn"],
                     help="registry net for the quality tier")
     pp.add_argument("--steps", type=int, default=8, help="back-projection steps")
@@ -252,7 +252,7 @@ def build_parser() -> argparse.ArgumentParser:
     pwu.add_argument("--target", default="100MP")
     pwu.add_argument("--block-size", type=int, default=512)
     pwu.add_argument("--provider", default="quality")
-    pwu.add_argument("--quality-model", default="edsr_l")
+    pwu.add_argument("--quality-model", default="edsr_xl")
     pwu.add_argument("--bit-depth", type=int, default=8, choices=[8, 16])
     pwu.set_defaults(fn=_cmd_warmup)
 

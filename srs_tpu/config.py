@@ -40,7 +40,7 @@ class ModelConfig:
     """
 
     default_provider: str = "hybrid"  # quality | fast | hybrid | bicubic
-    quality_model: str = "edsr_l"  # registry key for the quality net
+    quality_model: str = "edsr_xl"  # registry key for the quality net
     fast_model: str = "espcn"  # registry key for the fast net
     # Degradation-aware routing (models/routing.py): probe the input's
     # noise/blur and swap the quality tier to ``robust_model`` on damaged

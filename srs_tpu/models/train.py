@@ -272,6 +272,11 @@ def train_synthetic(
     kwargs.setdefault("scale", scale)
     module = spec.ctor(**kwargs)
 
+    # The corpus may arrive as uint8 (and already device-resident): the
+    # tunneled link degrades to single-digit MB/s some days, so callers
+    # that train several nets in one process (scripts/pretrain.py) upload
+    # the 600 MB uint8 corpus ONCE and share it; patches convert to f32
+    # on device after the dynamic_slice (a [batch, hp, hp, 3] cast, free).
     corpus = jnp.asarray(
         make_corpus(corpus_n, corpus_size, seed, mix=mix) if corpus is None else corpus
     )
@@ -312,6 +317,7 @@ def train_synthetic(
         hr = jax.vmap(
             lambda im, y, x: jax.lax.dynamic_slice(im, (y, x, 0), (hp, hp, 3))
         )(imgs, ys, xs)
+        hr = hr.astype(jnp.float32)  # no-op for f32 corpora, dequant for uint8
         flips = jax.random.bernoulli(kf, 0.5, (3, batch))
         hr = jnp.where(flips[0][:, None, None, None], hr[:, :, ::-1], hr)
         hr = jnp.where(flips[1][:, None, None, None], hr[:, ::-1], hr)
@@ -358,12 +364,18 @@ def train_synthetic(
 
     key = jax.random.PRNGKey(seed + 1)
     loss = float("nan")
-    for chunk in range(max(steps // scan_chunk, 1)):
+    n_chunks = max(steps // scan_chunk, 1)
+    # Fetch the scalar loss only at log points (and at the end): a
+    # blocking float() per chunk serializes dispatch on the tunnel RTT,
+    # which dominates wall time on degraded-link days.
+    log_stride = max(1, 1000 // max(scan_chunk, 1))
+    for chunk in range(n_chunks):
         key, sub = jax.random.split(key)
         params, opt_state, mloss = run_chunk(params, opt_state, corpus, sub)
-        loss = float(mloss)
-        if log_fn is not None:
-            log_fn((chunk + 1) * scan_chunk, loss)
+        if chunk == n_chunks - 1 or (chunk + 1) % log_stride == 0:
+            loss = float(mloss)
+            if log_fn is not None:
+                log_fn((chunk + 1) * scan_chunk, loss)
     if checkpoint_dir:
         save_checkpoint(params, model_name, scale, checkpoint_dir)
     return params, loss

@@ -67,7 +67,7 @@ class PipelineConfig:
     enable_qa: bool = True
     qa_device: str = "tpu"
     provider: str = "quality"  # quality | fast | hybrid | bicubic | zssr | fusion
-    quality_model: str = "edsr_l"  # registry net for the quality tier (e.g. rcan)
+    quality_model: str = "edsr_xl"  # registry net for the quality tier (e.g. rcan)
     fast_model: str = "espcn"  # registry net for the fast tier
     # Probe each input's noise/blur and auto-swap the quality tier to the
     # degradation-robust net on damaged inputs (models/routing.py).

@@ -40,7 +40,7 @@ def _run_pipeline(image, cfg_state: dict) -> None:
             overlap_ratio=cfg_state["overlap_ratio"],
             target_resolution=cfg_state["target_resolution"],
             provider=cfg_state["model_version"],
-            quality_model=cfg_state.get("quality_model", "edsr_l"),
+            quality_model=cfg_state.get("quality_model", "edsr_xl"),
             blend_method=cfg_state["fusion_algorithm"],
             # industry template steers the conditioned polish
             prompt_category=cfg_state.get("prompt_category"),
