@@ -390,7 +390,11 @@ def train_ark(
         params = loaded
     tx = make_optimizer(lr)
     opt_state = tx.init(params)
-    x_d = jax.device_put((jnp.asarray(x_np) / 127.5) - 1.0)
+    # Upload uint8 and dequantize on device: the tunneled link makes a
+    # float32 corpus upload (600 MB at 128 px) minutes-long on bad days;
+    # class renders are 8-bit-representable to within +-0.5.
+    x_d = jax.device_put(np.clip(np.round(x_np), 0, 255).astype(np.uint8))
+    x_d = (x_d.astype(jnp.float32) / 127.5) - 1.0
     y_d = jax.device_put(jnp.asarray(y_np))
     n = x_d.shape[0]
     ncls = len(ARK_CLASSES)
