@@ -56,7 +56,11 @@ def main() -> None:
     p = args.patch
     assert p % 8 == 0
 
-    corpus = jnp.asarray(load_corpus(mix=args.mix))
+    # uint8 once-per-process upload (degraded-link resilience; see
+    # scripts/pretrain.py) — patches dequantize to f32 after the slice.
+    import numpy as _np
+    corpus = jax.device_put(
+        _np.clip(_np.round(load_corpus(mix=args.mix)), 0, 255).astype(_np.uint8))
     n_img, ch, cw, _ = corpus.shape
 
     module = CondPolish()
@@ -79,6 +83,7 @@ def main() -> None:
         hr = jax.vmap(
             lambda im, y, x: jax.lax.dynamic_slice(im, (y, x, 0), (p, p, 3))
         )(imgs, ys, xs)
+        hr = hr.astype(jnp.float32)
         dist, c = degrade_conditioned(hr, kd)
 
         def loss_fn(pp):

@@ -53,12 +53,16 @@ def main() -> None:
         "srs_tpu", "models", "checkpoints",
     )
 
-    corpus = jnp.asarray(load_corpus())
+    # uint8 once-per-process upload (degraded-link resilience; see
+    # scripts/pretrain.py) — patches dequantize to f32 after the slice.
+    import numpy as _np
+    corpus = jax.device_put(
+        _np.clip(_np.round(load_corpus()), 0, 255).astype(_np.uint8))
     n_img, ch, cw, _ = corpus.shape
     hp = args.patch * 2
 
     # frozen SR producers (the packaged x2 nets polish actually follows)
-    q_mod, q_params = build_model("edsr_l", 2)
+    q_mod, q_params = build_model("edsr_xl", 2)  # the default quality tier
     f_mod, f_params = build_model("espcn", 2)
 
     spec = MODEL_REGISTRY["espcn_polish"]
@@ -80,6 +84,7 @@ def main() -> None:
         hr = jax.vmap(
             lambda im, y, x: jax.lax.dynamic_slice(im, (y, x, 0), (hp, hp, 3))
         )(imgs, ys, xs)
+        hr = hr.astype(jnp.float32)
         lr_b = downsample_area(hr, 2)
         sr_q = jnp.clip(q_mod.apply(q_params, lr_b), 0, 255)
         sr_f = jnp.clip(f_mod.apply(f_params, lr_b), 0, 255)
