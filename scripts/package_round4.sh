@@ -39,5 +39,7 @@ for n in $NAMES; do pkg "$n"; done
 # Derived artifacts against the new members.
 python scripts/reeval.py --only "$(echo "$NAMES" | tr ' ' ',')"
 python scripts/fit_fusion.py --scales 2,3,4 --members edsr_xl,edsr_l,rcan,edsr_m,espcn,bicubic
-python scripts/photo_eval.py --scale 2 --models "espcn,edsr_l,edsr_xl,edsr_xl+,edsr_xl:ibp,fusion,zssr" | tail -12
+# (zssr runs 4 per-image fine-tunes at panel width — it moved to the
+# round4d bench fleet as its own bounded stage)
+python scripts/photo_eval.py --scale 2 --models "espcn,edsr_l,edsr_xl,edsr_xl+,edsr_xl:ibp,fusion" | tail -12
 echo "PACKAGE ROUND4 DONE"

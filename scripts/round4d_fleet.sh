@@ -34,4 +34,8 @@ stage quality_panel 3600 python scripts/quality_bench.py --n 4 --size 512
 # Degradation-routing acceptance on the packaged tiers (noise panel).
 stage panel_robust 2400 python scripts/photo_eval.py --scale 2 --models edsr_xl,edsr_l_robust --degrade noise
 
+# zssr-from-prior on the held-out panel (4 per-image fine-tunes; bounded
+# here rather than inside the packaging script).
+stage panel_zssr 3600 python scripts/photo_eval.py --scale 2 --models zssr
+
 echo "ROUND4D FLEET DONE $(date +%H:%M:%S)"
