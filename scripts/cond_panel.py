@@ -110,13 +110,11 @@ def main() -> int:
     print(json.dumps(summary))
 
     if not args.no_write:
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "srs_tpu", "models", "checkpoints", "EVAL.json")
-        data = json.load(open(path))
-        data.setdefault("cond_polish_x1", {})["cond_panel"] = summary
-        json.dump(data, open(path, "w"), indent=1, sort_keys=True)
-        print(f"EVAL.json updated: {path}")
+        from srs_tpu.models.evaljson import packaged_eval_dir, update_eval
+
+        update_eval(packaged_eval_dir(), "cond_polish_x1",
+                    {"cond_panel": summary})
+        print("EVAL.json updated")
     return 0
 
 

@@ -111,19 +111,16 @@ def main():
           f"within-class diversity ratio vs real {div_ratio:.2f}")
 
     if not args.no_write:
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "srs_tpu", "models", "checkpoints", "EVAL.json",
-        )
-        data = json.load(open(path))
-        data.setdefault("ark_gen_x1", {}).update(
+        from srs_tpu.models.evaljson import packaged_eval_dir, update_eval
+
+        update_eval(
+            packaged_eval_dir(), "ark_gen_x1",
             {"class_accuracy": acc, "chance": 1 / ncls,
              "diversity_ratio_vs_real": div_ratio,
              "eval_k": args.k, "eval_steps": args.steps,
-             "eval_guidance": args.guidance, "eval_size": size}
+             "eval_guidance": args.guidance, "eval_size": size},
         )
-        json.dump(data, open(path, "w"), indent=1, sort_keys=True)
-        print(f"EVAL.json updated: {path}")
+        print("EVAL.json updated")
     return 0
 
 

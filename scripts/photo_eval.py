@@ -95,6 +95,10 @@ def main() -> None:
                     help="damage the LR input like real capture defects "
                     "(the degradation router's triggers): the robust-tier "
                     "acceptance panel — both tiers must beat bicubic here")
+    ap.add_argument("--write-eval", action="store_true",
+                    help="record per-net photo_panel blocks into the "
+                    "packaged EVAL.json (field-level merge; requires the "
+                    "full default panel so blocks stay comparable)")
     args = ap.parse_args()
 
     import jax
@@ -219,6 +223,27 @@ def main() -> None:
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
+
+        # Durable acceptance record (VERDICT r4 weak #3): the panel block
+        # lives next to the checkpoint it measured, merge-safe.
+        if args.write_eval and names is None and ":ibp" not in name:
+            import time as _time
+
+            from srs_tpu.models.evaljson import (packaged_eval_dir,
+                                                 update_eval)
+
+            ensemble = name.endswith("+")
+            bare = name[:-1] if ensemble else name
+            field = "photo_panel" + ("_ensemble" if ensemble else "")
+            if args.degrade != "none":
+                field += f"_{args.degrade}"
+            block = {k: row[k] for k in
+                     ("mean_delta", "min_delta", "max_delta", "per_image")}
+            block["measured_utc"] = _time.strftime("%Y-%m-%d")
+            update_eval(
+                packaged_eval_dir(args.checkpoint_dir),
+                f"{bare}_x{s}", {field: block},
+            )
 
     tag = "" if args.degrade == "none" else f" + {args.degrade}"
     img_names = [t for t, _ in panel]

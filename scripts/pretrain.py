@@ -144,25 +144,38 @@ def main() -> None:
     dt = time.time() - t0
     print(f"corpus h2d: {mb:.0f} MB in {dt:.1f}s ({mb/max(dt,1e-9):.1f} MB/s)",
           flush=True)
-    # Merge into an existing eval panel so partial runs accumulate.
-    panel_path = os.path.join(out_dir, "EVAL.json")
-    panel = {}
-    if os.path.exists(panel_path):
-        with open(panel_path) as f:
-            panel = json.load(f)
+    # Merge into the existing eval ledger so partial runs accumulate
+    # (field-level merge; see srs_tpu/models/evaljson.py).
+    from srs_tpu.models.evaljson import (DERIVED_EVIDENCE, load_eval,
+                                         update_eval)
+
+    panel = load_eval(out_dir)
     if only is None:
         configs = list(CONFIGS)
     else:
         # honor the --only ORDER: on a day where the fleet may be cut
         # short, the caller lists the highest-priority nets first
         by_key = {f"{c[0]}_x{c[1]}": c for c in CONFIGS}
-        configs = [by_key[k] for k in only if k in by_key]
+        unknown = [k for k in only if k not in by_key]
+        if unknown:
+            # a typo'd --only must not exit 0 with nothing trained — the
+            # fleet's .done marker would record a missing checkpoint as OK
+            sys.exit(f"--only: unknown net keys {unknown}; "
+                     f"valid: {sorted(by_key)}")
+        configs = [by_key[k] for k in only]
+    for k in steps_map:
+        if not any(f"{c[0]}_x{c[1]}" == k for c in CONFIGS):
+            print(f"WARNING: --steps-map key {k!r} matches no config; "
+                  "ignored", flush=True)
     for cfg_row in configs:
         name, scale, steps = cfg_row[:3]
         if steps_override:
             steps = steps_override
         steps = steps_map.get(f"{name}_x{scale}", steps)
-        if skip_existing and os.path.isdir(os.path.join(out_dir, f"{name}_x{scale}")) \
+        # skip only on a COMMITTED orbax save: a run killed mid-save leaves
+        # a partial directory that a bare isdir would skip forever
+        ck_meta = os.path.join(out_dir, f"{name}_x{scale}", "_CHECKPOINT_METADATA")
+        if skip_existing and os.path.isfile(ck_meta) \
                 and f"{name}_x{scale}" in panel:
             print(f"[{name}_x{scale}] skip: checkpoint exists", flush=True)
             continue
@@ -201,12 +214,13 @@ def main() -> None:
             stats["init_from"] = init_from
         if lr != 2e-4:
             stats["lr"] = lr
-        panel[f"{name}_x{scale}"] = stats
         print(f"[{name}_x{scale}] {json.dumps(stats)}", flush=True)
-        # dump incrementally so a killed multi-net run keeps its finished
-        # nets' panel entries (checkpoints are saved per net already)
-        with open(os.path.join(out_dir, "EVAL.json"), "w") as f:
-            json.dump(panel, f, indent=2)
+        # write incrementally so a killed multi-net run keeps its finished
+        # nets' entries; the weights just changed, so the stale derived
+        # evidence blocks (photo panel, cond contract) are dropped — the
+        # acceptance fleet re-measures them against the new checkpoint
+        panel[f"{name}_x{scale}"] = update_eval(
+            out_dir, f"{name}_x{scale}", stats, drop=DERIVED_EVIDENCE)
     print("DONE", flush=True)
 
 

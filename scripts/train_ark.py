@@ -55,13 +55,16 @@ def main():
     print(f"[ark] corpus {corpus[0].shape} in {time.time()-t0:.1f}s", flush=True)
 
     tlog = time.time()
+    slog = 0
 
     def log(step, loss):
-        nonlocal tlog
+        # log points arrive every ~1000 steps (train_ark gates the loss
+        # fetch); rate from the step delta, not scan_chunk
+        nonlocal tlog, slog
         now = time.time()
         print(f"[ark] step {step}/{args.steps} loss {loss:.5f} "
-              f"({args.scan_chunk / max(now - tlog, 1e-9):.1f} steps/s)", flush=True)
-        tlog = now
+              f"({(step - slog) / max(now - tlog, 1e-9):.1f} steps/s)", flush=True)
+        tlog, slog = now, step
 
     module, ema, loss = train_ark(
         steps=args.steps, n_per_class=args.n_per_class, size=args.size,
@@ -73,7 +76,6 @@ def main():
     dt = time.time() - t0
     print(f"[ark] done: final loss {loss:.5f} in {dt:.0f}s -> {out}/ark_gen_x1")
 
-    eval_path = os.path.join(out, "EVAL.json")
     entry = {
         "final_loss": loss,
         "steps": args.steps,
@@ -83,9 +85,11 @@ def main():
         "train_seconds": dt,
     }
     try:
-        data = json.load(open(eval_path)) if os.path.isfile(eval_path) else {}
-        data["ark_gen_x1"] = entry
-        json.dump(data, open(eval_path, "w"), indent=1, sort_keys=True)
+        from srs_tpu.models.evaljson import update_eval
+
+        # replace: every other ark field (class acc, gen2k NIQE) is
+        # derived from the weights this run just replaced
+        update_eval(out, "ark_gen_x1", entry, replace=True)
         print(f"[ark] EVAL.json updated: {entry}")
     except Exception as e:
         print(f"[ark] EVAL.json update failed: {e}")

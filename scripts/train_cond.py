@@ -136,12 +136,23 @@ def main() -> None:
         flush=True,
     )
     clean_out = module.apply(params, hr, jnp.zeros((hr.shape[0], COND_DIM)))
+    clean_db = psnr(clean_out, hr)
     print(
-        f"[cond_polish] clean passthrough: {psnr(clean_out, hr):.2f} dB "
+        f"[cond_polish] clean passthrough: {clean_db:.2f} dB "
         f"({time.time()-t0:.0f}s)",
         flush=True,
     )
     save_checkpoint(params, "cond_polish", 1, out_dir)
+    from srs_tpu.models.evaljson import DERIVED_EVIDENCE, update_eval
+
+    update_eval(out_dir, "cond_polish_x1", {
+        "holdout_distorted": round(psnr(dist, hr), 3),
+        "holdout_conditioned": round(psnr(restored, hr), 3),
+        "holdout_blind": round(psnr(blind, hr), 3),
+        "clean_passthrough": round(clean_db, 3),
+        "steps": args.steps, "mix": args.mix,
+        "train_seconds": round(time.time() - t0, 1),
+    }, drop=DERIVED_EVIDENCE)
     print("DONE", flush=True)
 
 

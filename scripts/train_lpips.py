@@ -78,13 +78,17 @@ def build_pairs(n_imgs: int, size: int, seed0: int):
     return out
 
 
-def ranking_accuracy(dist_fn, refs, lows, highs) -> float:
-    import numpy as np
+def ranking_accuracy(pair_acc_fn, refs, lows, highs, chunk: int = 32) -> float:
+    """Fraction of triplets with D(ref,lo) < D(ref,hi).
 
-    ok = 0
-    for r, lo, hi in zip(refs, lows, highs):
-        ok += float(dist_fn(r, lo)) < float(dist_fn(r, hi))
-    return ok / len(refs)
+    ``pair_acc_fn(r, lo, hi) -> [N] bool`` runs batched on device; one
+    dispatch + one scalar fetch per chunk instead of two per triplet
+    (the tunneled link makes 256 round trips minutes-long on bad days)."""
+    ok, n = 0.0, len(refs)
+    for i in range(0, n, chunk):
+        ok += float(pair_acc_fn(refs[i:i + chunk], lows[i:i + chunk],
+                                highs[i:i + chunk]).sum())
+    return ok / n
 
 
 def main() -> None:
@@ -175,13 +179,28 @@ def main() -> None:
             )
             return params, opt_state, jnp.mean(losses)
 
-        # baseline (random features) held-out accuracy
-        dist_fn0 = jax.jit(lambda a, b, p=params: distance_p(p, a[None], b[None])[0])
-        acc0 = ranking_accuracy(dist_fn0, h_refs, h_lows, h_highs)
+        @jax.jit
+        def pair_acc(p, r, lo, hi):
+            return distance_p(p, r, lo) < distance_p(p, r, hi)
 
-        r_d = jnp.asarray(refs)
-        lo_d = jnp.asarray(lows)
-        hi_d = jnp.asarray(highs)
+        # uint8 once-per-process upload (4x fewer bytes over the tunnel;
+        # the distortion stacks are 8-bit-representable to +-0.5, ~40 dB
+        # below the severity gaps the hinge ranks) — dequantized on device
+        def up8(a):
+            return jax.device_put(
+                np.clip(np.round(a), 0, 255).astype(np.uint8)
+            ).astype(jnp.float32)
+
+        hr_d, hlo_d, hhi_d = up8(h_refs), up8(h_lows), up8(h_highs)
+
+        # baseline (random features) held-out accuracy
+        acc0 = ranking_accuracy(
+            lambda r, lo, hi, p=params: pair_acc(p, r, lo, hi),
+            hr_d, hlo_d, hhi_d)
+
+        r_d = up8(refs)
+        lo_d = up8(lows)
+        hi_d = up8(highs)
         key = jax.random.PRNGKey(seed + 1)
         t0 = time.time()
         loss = float("nan")
@@ -192,8 +211,9 @@ def main() -> None:
                 loss = float(l)
                 print(f"[{net}] step {c * chunk}: loss {loss:.6f}", flush=True)
 
-        dist_fn1 = jax.jit(lambda a, b, p=params: distance_p(p, a[None], b[None])[0])
-        acc1 = ranking_accuracy(dist_fn1, h_refs, h_lows, h_highs)
+        acc1 = ranking_accuracy(
+            lambda r, lo, hi, p=params: pair_acc(p, r, lo, hi),
+            hr_d, hlo_d, hhi_d)
         print(f"[{net}] ranking accuracy: random {acc0:.3f} -> trained {acc1:.3f} "
               f"({time.time()-t0:.0f}s)", flush=True)
 
@@ -204,6 +224,13 @@ def main() -> None:
         ckptr.save(path, params, force=True)
         ckptr.wait_until_finished()
         print(f"[{net}] saved {path}", flush=True)
+        from srs_tpu.models.evaljson import update_eval
+
+        update_eval(out_dir, f"lpips_{net}", {
+            "rank_acc_random": round(acc0, 4),
+            "rank_acc_trained": round(acc1, 4),
+            "steps": args.steps, "pairs": int(n),
+        }, replace=True)
     print("DONE", flush=True)
 
 

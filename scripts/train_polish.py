@@ -125,10 +125,21 @@ def main() -> None:
         mse = jnp.mean((jnp.clip(pred, 0, 255) - hr) ** 2, axis=(1, 2, 3))
         return float(jnp.mean(20 * jnp.log10(255.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))))
     sr = jnp.clip(q_mod.apply(q_params, lr_b), 0, 255)
-    print(f"[espcn_polish] holdout: sr {psnr(sr):.2f} dB -> "
-          f"polished {psnr(module.apply(params, sr)):.2f} dB "
+    sr_db = psnr(sr)
+    pol_db = psnr(module.apply(params, sr))
+    print(f"[espcn_polish] holdout: sr {sr_db:.2f} dB -> "
+          f"polished {pol_db:.2f} dB "
           f"({time.time()-t0:.0f}s)", flush=True)
     save_checkpoint(params, "espcn_polish", 1, out_dir)
+    from srs_tpu.models.evaljson import DERIVED_EVIDENCE, update_eval
+
+    update_eval(out_dir, "espcn_polish_x1", {
+        "holdout_sr": round(sr_db, 3),
+        "holdout_polished": round(pol_db, 3),
+        "sr_producer": "edsr_xl/espcn x2 mix",
+        "steps": args.steps,
+        "train_seconds": round(time.time() - t0, 1),
+    }, drop=DERIVED_EVIDENCE)
     print("DONE", flush=True)
 
 

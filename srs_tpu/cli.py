@@ -216,7 +216,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["laplacian", "multi_band", "weighted", "feather",
                              "gradient_domain", "poisson"])
     pp.add_argument("--quality-model", default="edsr_xl",
-                    choices=["edsr_m", "edsr_l", "edsr_l_robust", "rcan", "espcn"],
+                    choices=["edsr_m", "edsr_l", "edsr_xl", "edsr_l_robust",
+                             "rcan", "espcn"],
                     help="registry net for the quality tier")
     pp.add_argument("--steps", type=int, default=8, help="back-projection steps")
     pp.add_argument("--zssr-steps", type=int, default=150,

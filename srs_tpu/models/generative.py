@@ -435,12 +435,19 @@ def train_ark(
 
     ema = params
     loss = float("nan")
-    for start in range(0, steps, scan_chunk):
+    n_chunks = max((steps + scan_chunk - 1) // scan_chunk, 1)
+    # Fetch the loss scalar only at log points plus the final chunk: each
+    # float() is a device->host round trip through the tunnel, and on
+    # degraded-link days hundreds of them dominate a 40k-step run (same
+    # gating as train_synthetic; CLAUDE.md degraded-link rules).
+    log_stride = max(1000 // max(scan_chunk, 1), 1)
+    for ci, start in enumerate(range(0, steps, scan_chunk)):
         key, sub = jax.random.split(key)
         params, opt_state, ema, lchunk = run_chunk(params, opt_state, ema, sub)
-        loss = float(lchunk)
-        if log_fn is not None:
-            log_fn(min(start + scan_chunk, steps), loss)
+        if ci == n_chunks - 1 or (ci + 1) % log_stride == 0:
+            loss = float(lchunk)
+            if log_fn is not None:
+                log_fn(min(start + scan_chunk, steps), loss)
     if checkpoint_dir is not None:
         save_checkpoint(ema, "ark_gen", 1, checkpoint_dir)
         import json
