@@ -66,6 +66,9 @@ def main() -> None:
         target_resolution="100MP",
         provider=os.environ.get("SRS_BENCH_PROVIDER", "quality"),
         quality_model=os.environ.get("SRS_BENCH_QMODEL", "edsr_xl"),
+        # per-scale panel-best selection (models/selection.py); pin the
+        # configured net for every step with SRS_BENCH_PER_SCALE=0 (A/B)
+        per_scale_selection=os.environ.get("SRS_BENCH_PER_SCALE", "1") == "1",
         ibp_steps=int(os.environ.get("SRS_BENCH_IBP", "4")),
         bit_depth=int(os.environ.get("SRS_BENCH_BITDEPTH", "8")),
         enable_qa=os.environ.get("SRS_BENCH_QA", "1") == "1",
@@ -162,11 +165,14 @@ def main() -> None:
         from srs_tpu.utils.flops import ladder_flops, mfu
 
         flops = nbatch * ladder_flops(
-            info["model"], info["ladder"], info["block"], info["num_tiles"]
+            info["model"], info["ladder"], info["block"], info["num_tiles"],
+            models=info.get("models"),
         )
         sr_s = r.stage_times.get("super_resolution", info["sr_seconds"])
         result.update(mfu(flops, sr_s * nbatch))
         result["routed_model"] = info["model"]
+        if info.get("models"):
+            result["step_models"] = info["models"]
     # Full-resolution no-reference panel: the downsample-consistency score
     # alone is circular (back-projection optimizes what it measures); these
     # score the actual print-resolution pixels.

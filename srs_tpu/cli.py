@@ -41,6 +41,7 @@ def _cmd_process(args: argparse.Namespace) -> int:
         enable_checkpoint=args.checkpoint,
         content_aware=args.content_aware,
         self_ensemble=args.self_ensemble,
+        per_scale_selection=not args.pin_quality_model,
     )
     pipe = SuperResolutionPipeline(cfg)
     if args.profile:
@@ -218,7 +219,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--quality-model", default="edsr_xl",
                     choices=["edsr_m", "edsr_l", "edsr_xl", "edsr_l_robust",
                              "rcan", "espcn"],
-                    help="registry net for the quality tier")
+                    help="registry net for the quality tier (the fallback "
+                         "when per-scale selection has no panel evidence)")
+    pp.add_argument("--pin-quality-model", action="store_true",
+                    help="disable per-scale panel-best selection and serve "
+                         "--quality-model for every ladder step")
     pp.add_argument("--steps", type=int, default=8, help="back-projection steps")
     pp.add_argument("--zssr-steps", type=int, default=150,
                     help="self-supervised fine-tune steps for --provider zssr")

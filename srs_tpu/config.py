@@ -47,6 +47,12 @@ class ModelConfig:
     # inputs. The reference can only route on *failure* (sr:947-962).
     auto_route: bool = True
     robust_model: str = "edsr_l_robust"
+    # Per-scale family selection (models/selection.py): each ladder step
+    # serves the net that wins the held-out photo panel AT THAT SCALE
+    # (edsr_l wins x2, edsr_xl wins x3/x4 — round-4 panel). quality_model
+    # stays the default/fallback; explicit ``model=`` overrides (the
+    # degradation router) bypass selection entirely.
+    per_scale_selection: bool = True
     compute_dtype: str = "bfloat16"  # MXU-friendly; accumulation in f32
     params_dtype: str = "float32"
     # Geometric self-ensemble (the EDSR-paper "+" mode): average the net

@@ -203,12 +203,50 @@ class SuperResolutionModule:
         self._fusion_cache: Dict[int, Optional[list]] = {}
 
     # -- internals ---------------------------------------------------------
+    def select_quality_model(self, scale: int) -> str:
+        """Quality-tier net for ONE ladder step: the panel-best packaged
+        net at this scale (models/selection.py; VERDICT r4 #4 — edsr_l
+        wins the x2 panel while edsr_xl wins x3/x4 and the pipeline used
+        to pin one family for the whole ladder). Falls back to the
+        configured ``quality_model`` when selection is off or no panel
+        evidence exists."""
+        name = self.config.quality_model
+        if not getattr(self.config, "per_scale_selection", False):
+            return name
+        from .selection import panel_best_model
+
+        return panel_best_model(
+            scale, name, self.config.checkpoint_dir,
+            ensemble=getattr(self.config, "self_ensemble", False),
+            dtype=jnp.dtype(self.config.compute_dtype),
+        )
+
+    def _resolve(self, role: str, scale: int, model: Optional[str]) -> str:
+        """Net name for (role, scale): explicit ``model`` override (the
+        degradation router / fusion members) > per-scale selection >
+        configured tier default."""
+        if model is not None:
+            return model
+        if role == "quality":
+            return self.select_quality_model(scale)
+        return self.config.fast_model
+
+    def resolve_ladder_models(
+        self, ladder, provider: str = "quality", model: Optional[str] = None
+    ) -> list:
+        """Per-step net names the ladder will serve (pipeline resume keys
+        and MFU accounting need the ACTUAL choice, not the config)."""
+        role = (
+            "quality"
+            if provider in ("quality", "seedream", "hybrid", "zssr", "fusion")
+            else "fast"
+        )
+        return [self._resolve(role, s, model) for s in ladder]
+
     def _net(
         self, role: str, scale: int, model: Optional[str] = None
     ) -> Callable[[jax.Array], jax.Array]:
-        name = model or (
-            self.config.quality_model if role == "quality" else self.config.fast_model
-        )
+        name = self._resolve(role, scale, model)
         if role == "polish":
             name, scale = "espcn_polish", 1
         key = (name, scale)
@@ -240,9 +278,7 @@ class SuperResolutionModule:
         )
 
     def _net_trained(self, role: str, scale: int, model: Optional[str] = None) -> bool:
-        name = model or (
-            self.config.quality_model if role == "quality" else self.config.fast_model
-        )
+        name = self._resolve(role, scale, model)
         if role == "polish":
             name, scale = "espcn_polish", 1
         return self._trained.get((name, scale), False)
@@ -325,8 +361,10 @@ class SuperResolutionModule:
         so the gate must follow the actual steps, not the product scale."""
         target_h = int(round(x.shape[1] * scale))
         target_w = int(round(x.shape[2] * scale))
-        name = self.config.quality_model if role == "quality" else self.config.fast_model
-        trained = {s for s in (2, 3, 4) if self._is_pretrained(name, s)}
+        trained = {
+            s for s in (2, 3, 4)
+            if self._is_pretrained(self._resolve(role, s, None), s)
+        }
         steps = scale_ladder(scale, trained=trained)
         cur = x
         for s in steps:
@@ -621,10 +659,12 @@ class SuperResolutionModule:
             if provider in ("quality", "seedream", "hybrid", "zssr", "fusion")
             else "fast"
         )
-        name = model or (
-            self.config.quality_model if role == "quality" else self.config.fast_model
-        )
-        return {s for s in (2, 3, 4) if self._is_pretrained(name, s)}
+        # per-scale selection: a scale counts trained when the net that
+        # would actually SERVE that step is trained
+        return {
+            s for s in (2, 3, 4)
+            if self._is_pretrained(self._resolve(role, s, model), s)
+        }
 
     def upscale_tiles(
         self,

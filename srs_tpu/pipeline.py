@@ -73,6 +73,11 @@ class PipelineConfig:
     # degradation-robust net on damaged inputs (models/routing.py).
     auto_route: bool = True
     robust_model: str = "edsr_l_robust"
+    # Per-scale family selection (models/selection.py): each ladder step
+    # serves the panel-best packaged net at that scale (x2 -> edsr_l,
+    # x3/x4 -> edsr_xl on the round-4 panel); quality_model is the
+    # fallback. Set False to pin quality_model for every step.
+    per_scale_selection: bool = True
     # Geometric self-ensemble over the 8 dihedral tile transforms (EDSR's
     # "+" mode): +0.3-0.4 dB on photographs for 8x SR-stage compute.
     self_ensemble: bool = False
@@ -202,6 +207,7 @@ class SuperResolutionPipeline:
                 fast_model=self.config.fast_model,
                 auto_route=self.config.auto_route,
                 robust_model=self.config.robust_model,
+                per_scale_selection=self.config.per_scale_selection,
                 self_ensemble=self.config.self_ensemble,
             ))
         if getattr(self, "dispatcher", None) is None:
@@ -309,7 +315,9 @@ class SuperResolutionPipeline:
                 return cur
 
             return self.dispatcher.run_tiled(
-                ladder_fn, tiles, key=f"ladder{ladder}{provider}{steps}{model}{cat}"
+                ladder_fn, tiles,
+                key=f"ladder{ladder}{provider}{steps}{model}{cat}"
+                    f"{self._ladder_models(list(ladder), model, provider=provider_name)}",
             )
         n = int(tiles.shape[0])
         final_block = int(tiles.shape[1]) * int(np.prod(ladder)) if ladder else int(tiles.shape[1])
@@ -532,13 +540,29 @@ class SuperResolutionPipeline:
         raise ValueError(f"unknown blend method {method!r}")
 
     # -- SR checkpoint/resume (reference: main.py:299-304) ------------------
+    def _ladder_models(
+        self, ladder: List[int], model: Optional[str] = None,
+        provider: Optional[str] = None,
+    ) -> List[str]:
+        """Per-step net names the SR stage will actually serve (per-scale
+        selection aware; models/selection.py). Resume keys and MFU
+        accounting key on THIS, not on the configured tier."""
+        try:
+            return self.sr_module.resolve_ladder_models(
+                ladder, provider or self.config.provider, model
+            )
+        except Exception:  # noqa: BLE001 - engine not built / bicubic
+            return [model or self.config.quality_model] * len(ladder)
+
     def _resume_key(
         self, image_hash: str, ladder: List[int], layout,
         model: Optional[str] = None, category: Optional[str] = None,
+        step_models: Optional[List[str]] = None,
     ) -> Optional[str]:
         """Content-addressed key for the upscaled-tile store: any knob that
         changes the SR output changes the key (incl. the conditioning
-        category — a conditioned run must not serve another run's tiles)."""
+        category — a conditioned run must not serve another run's tiles —
+        and the per-scale model selection)."""
         if not self.config.enable_checkpoint:
             return None
         import hashlib as _hashlib
@@ -548,6 +572,7 @@ class SuperResolutionPipeline:
             f":{layout.block}:{layout.overlap}:{self.config.zssr_steps}"
             f":{self.config.seedream_steps}:{model or self.config.quality_model}"
             f":{category if category is not None else self.config.prompt_category}"
+            f":{step_models if step_models is not None else self._ladder_models(ladder, model)}"
         )
         return "sr-" + _hashlib.md5(sig.encode()).hexdigest()
 
@@ -827,10 +852,17 @@ class SuperResolutionPipeline:
             # Instrumentation for MFU accounting (bench.py): what actually
             # ran in stage 2 after routing/degradation/resume.
             prov_used = _prov or self.config.provider
+            step_models: Optional[List[str]] = None
             if prov_used in ("quality", "seedream", "hybrid", "zssr", "fusion"):
-                model_used = routed_model or self.config.quality_model
+                step_models = self._ladder_models(
+                    list(ladder), routed_model, provider=prov_used
+                )
+                model_used = routed_model or (
+                    step_models[0] if step_models else self.config.quality_model
+                )
             elif prov_used in ("fast", "veimagex"):
                 model_used = self.config.fast_model
+                step_models = [model_used] * len(ladder)
             else:
                 model_used = None
             self.last_run_info = {
@@ -839,6 +871,9 @@ class SuperResolutionPipeline:
                 "block": int(layout.block),
                 "provider": prov_used,
                 "model": model_used,
+                # per-scale selection: the net each ladder step served
+                # (models/selection.py) — MFU accounting keys on this
+                "models": step_models,
                 "resumed": not recomputed,
                 "sr_seconds": stage_times["super_resolution"],
             }

@@ -67,15 +67,19 @@ def ladder_flops(
     block: int,
     n_tiles: int,
     checkpoint_dir: Optional[str] = None,
+    models: Optional[List[str]] = None,
 ) -> float:
     """Total conv FLOPs of running ``ladder`` net passes over the tile
-    batch (step i sees resolution block * prod(ladder[:i]))."""
+    batch (step i sees resolution block * prod(ladder[:i])). ``models``
+    gives the per-step net when per-scale selection served a mixed
+    ladder (pipeline.last_run_info["models"])."""
     from ..models.registry import build_model
 
     total = 0.0
     res = block
-    for s in ladder:
-        _, params = build_model(model_name, s, checkpoint_dir)
+    for i, s in enumerate(ladder):
+        name = models[i] if models and i < len(models) else model_name
+        _, params = build_model(name, s, checkpoint_dir)
         total += conv_flops_per_pixel(params) * res * res * n_tiles
         res *= s
     return total
