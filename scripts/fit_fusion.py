@@ -90,16 +90,24 @@ def main() -> None:
         )
         outs, kept = [], []
         for m in members:
-            if m == "bicubic":
+            # "edsr_l+" = the geometric self-ensemble of edsr_l as a
+            # fusion member (VERDICT r4 #6: fusion must beat the best
+            # "+" member or demote honestly — fit against them)
+            ens = m.endswith("+")
+            bare = m[:-1] if ens else m
+            if bare == "bicubic":
                 y = np.asarray(resize_bicubic_up(jnp.asarray(lr), scale))
             else:
-                if not is_pretrained(m, scale):
+                if not is_pretrained(bare, scale):
                     print(f"x{scale}: {m} untrained; dropped from fit")
                     continue
-                module, params = build_model(m, scale)
+                module, params = build_model(bare, scale)
                 import jax
 
-                apply = jax.jit(lambda x, mo=module, pa=params: mo.apply(pa, x))
+                from srs_tpu.models.sr_module import _dihedral_ensemble
+
+                fn = jax.jit(lambda x, mo=module, pa=params: mo.apply(pa, x))
+                apply = (lambda x, f=fn: _dihedral_ensemble(f, x)) if ens else fn
                 y = np.concatenate(
                     [np.asarray(apply(jnp.asarray(lr[i : i + 1]))) for i in range(len(lr))]
                 )

@@ -157,12 +157,14 @@ def main() -> None:
             members, weights = loaded
             out_b = None
             for m, w in zip(members, weights):
-                if m == "bicubic":
+                m_ens = ensemble or m.endswith("+")
+                bare_m = m.rstrip("+")
+                if bare_m == "bicubic":
                     y = resize_bicubic_up(lr_b, s)
                 else:
-                    module, params = build_model(m, s, args.checkpoint_dir)
+                    module, params = build_model(bare_m, s, args.checkpoint_dir)
                     fn = lambda x, mo=module, pa=params: mo.apply(pa, x)
-                    y = _dihedral_ensemble(fn, lr_b) if ensemble else fn(lr_b)
+                    y = _dihedral_ensemble(fn, lr_b) if m_ens else fn(lr_b)
                 out_b = y * w if out_b is None else out_b + y * w
             trained = True
         elif bare == "zssr":

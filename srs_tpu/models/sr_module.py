@@ -301,7 +301,8 @@ class SuperResolutionModule:
             kept = [
                 (m, w)
                 for m, w in zip(members, weights)
-                if m == "bicubic" or self._is_pretrained(m, scale)
+                # "name+" members serve the member's self-ensemble
+                if m == "bicubic" or self._is_pretrained(m.rstrip("+"), scale)
             ]
             total = sum(w for _, w in kept)
             n_trained = sum(1 for m, _ in kept if m != "bicubic")
@@ -704,8 +705,14 @@ class SuperResolutionModule:
                     if name == "bicubic":
                         y = resize_bicubic_up(tiles, scale)
                     else:
-                        net = self._net("quality", scale, model=name)
-                        y = _dihedral_ensemble(net, tiles) if se else net(tiles)
+                        # "name+": the FUSION.json fit ran this member as
+                        # its dihedral self-ensemble — serve it the same way
+                        member_se = se or name.endswith("+")
+                        net = self._net("quality", scale,
+                                        model=name.rstrip("+"))
+                        y = (_dihedral_ensemble(net, tiles)
+                             if member_se and tiles.shape[1] == tiles.shape[2]
+                             else net(tiles))
                     out = y * w if out is None else out + y * w
                 return self._conditioned(jnp.clip(out, 0, 255), category)
             provider = "quality"  # not packaged at this scale

@@ -73,6 +73,12 @@ class PipelineConfig:
     # degradation-robust net on damaged inputs (models/routing.py).
     auto_route: bool = True
     robust_model: str = "edsr_l_robust"
+    # SR-gain self-probe (models/routing.py probe_sr_gain): reconstruct a
+    # crop of THIS input through the net and through bicubic; when the net
+    # measures below this floor (dB vs bicubic) the whole job serves the
+    # bicubic ladder — the per-image guard for self-similar textures
+    # (wood-family panel crops) where every clean net loses to bicubic.
+    sr_gain_floor: float = 0.0
     # Per-scale family selection (models/selection.py): each ladder step
     # serves the panel-best packaged net at that scale (x2 -> edsr_l,
     # x3/x4 -> edsr_xl on the round-4 panel); quality_model is the
@@ -386,6 +392,7 @@ class SuperResolutionPipeline:
         max_attempts: int = 10,
         model: Optional[str] = None,
         category: Optional[str] = None,
+        provider: Optional[str] = None,
     ):
         """Run the SR batch with the scheduler's retry -> degradation ladder
         wired to REAL device compute (reference: agent_scheduler.py:752-887).
@@ -396,9 +403,10 @@ class SuperResolutionPipeline:
         and the batch re-tiles at the degraded tile size (256/16), drops to
         the fallback engine, and reduces the net scale (x0.7, floor 1.5 —
         the output still reaches the requested size via the final bicubic
-        in the banded save). Returns (up_tiles, layout, ladder, provider).
+        in the banded save). ``provider`` seeds the override (the SR-gain
+        probe's bicubic routing). Returns (up_tiles, layout, ladder,
+        provider).
         """
-        provider: Optional[str] = None
         degradations = 0
         for attempt in range(max_attempts):
             try:
@@ -558,6 +566,7 @@ class SuperResolutionPipeline:
         self, image_hash: str, ladder: List[int], layout,
         model: Optional[str] = None, category: Optional[str] = None,
         step_models: Optional[List[str]] = None,
+        provider: Optional[str] = None,
     ) -> Optional[str]:
         """Content-addressed key for the upscaled-tile store: any knob that
         changes the SR output changes the key (incl. the conditioning
@@ -568,7 +577,7 @@ class SuperResolutionPipeline:
         import hashlib as _hashlib
 
         sig = (
-            f"{image_hash}:{self.config.provider}:{ladder}:{self.config.ibp_steps}"
+            f"{image_hash}:{provider or self.config.provider}:{ladder}:{self.config.ibp_steps}"
             f":{layout.block}:{layout.overlap}:{self.config.zssr_steps}"
             f":{self.config.seedream_steps}:{model or self.config.quality_model}"
             f":{category if category is not None else self.config.prompt_category}"
@@ -763,6 +772,32 @@ class SuperResolutionPipeline:
             ladder = _scale_ladder(
                 scale_total, trained=self._trained_scales(model=routed_model)
             )
+            # SR-gain self-probe: per-image internal validation (can the
+            # net reconstruct THIS input's statistics better than
+            # bicubic?). Catches self-similar textures where every clean
+            # net loses to bicubic (round-4 panel: wood at x2). Damaged
+            # inputs already routed to the robust net skip it.
+            routed_provider: Optional[str] = None
+            sr_gain: Optional[float] = None
+            if (
+                self.config.auto_route and routed_model is None and ladder
+                and self.config.provider in ("quality", "seedream", "hybrid",
+                                             "fusion")
+            ):
+                try:
+                    from .models.routing import probe_sr_gain
+
+                    probe_model = self._ladder_models([int(ladder[0])])[0]
+                    sr_gain = probe_sr_gain(image, probe_model, int(ladder[0]))
+                    if sr_gain is not None and sr_gain < self.config.sr_gain_floor:
+                        routed_provider = "bicubic"
+                        logger.info(
+                            "SR-gain probe: %s x%d measures %+.2f dB vs "
+                            "bicubic on this input -> bicubic ladder",
+                            probe_model, int(ladder[0]), sr_gain,
+                        )
+                except Exception:  # noqa: BLE001 - the probe is best-effort
+                    routed_provider = None
             net_scale = int(np.prod(ladder)) if ladder else 1
             # One h2d upload of the input: tiling pads/extracts from it and
             # the QA stage reuses it as the device-resident reference.
@@ -798,7 +833,8 @@ class SuperResolutionPipeline:
             # tiles from a killed previous run (reference: main.py:299-304
             # probed; restore was a TODO there — here it works).
             resume_key = self._resume_key(
-                image_hash, ladder, layout, routed_model, job_category
+                image_hash, ladder, layout, routed_model, job_category,
+                provider=routed_provider,
             )
             cached_sr = self._probe_resume(resume_key, layout.num_tiles)
             recomputed = True
@@ -816,7 +852,8 @@ class SuperResolutionPipeline:
                     missing = [i for i in range(layout.num_tiles) if i not in cached_sr]
                     up_missing = self._upscale_batch(
                         jnp.take(tiles, jnp.asarray(missing), axis=0), ladder,
-                        model=routed_model, category=job_category,
+                        provider=routed_provider, model=routed_model,
+                        category=job_category,
                     )
                     up_missing.block_until_ready()
                     parts: List[np.ndarray] = [None] * layout.num_tiles  # type: ignore[list-item]
@@ -833,17 +870,20 @@ class SuperResolutionPipeline:
                     up_tiles, layout, ladder, _prov = self._run_stage2(
                         image, tiles, ladder, layout, tasks,
                         model=routed_model, category=job_category,
+                        provider=routed_provider,
                     )
             else:
                 up_tiles, layout, ladder, _prov = self._run_stage2(
                     image, tiles, ladder, layout, tasks,
                     model=routed_model, category=job_category,
+                    provider=routed_provider,
                 )
             net_scale = int(np.prod(ladder)) if ladder else 1
             if recomputed and self.config.enable_checkpoint:
                 self._checkpoint_sr(
                     self._resume_key(
-                        image_hash, ladder, layout, routed_model, job_category
+                        image_hash, ladder, layout, routed_model, job_category,
+                        provider=routed_provider,
                     ),
                     up_tiles,
                 )
@@ -851,7 +891,7 @@ class SuperResolutionPipeline:
             stage_times["super_resolution"] = time.time() - t0
             # Instrumentation for MFU accounting (bench.py): what actually
             # ran in stage 2 after routing/degradation/resume.
-            prov_used = _prov or self.config.provider
+            prov_used = _prov or routed_provider or self.config.provider
             step_models: Optional[List[str]] = None
             if prov_used in ("quality", "seedream", "hybrid", "zssr", "fusion"):
                 step_models = self._ladder_models(
@@ -876,6 +916,8 @@ class SuperResolutionPipeline:
                 "models": step_models,
                 "resumed": not recomputed,
                 "sr_seconds": stage_times["super_resolution"],
+                # per-image internal validation result (None = not probed)
+                "sr_gain_probe": sr_gain,
             }
 
             # ---- Stage 3: blending ----

@@ -96,6 +96,51 @@ def test_route_quality_model_guard(tmp_path):
     assert name == "edsr_l"
 
 
+def test_sr_gain_probe_orders_content():
+    """The per-image self-probe (probe_sr_gain) reads strongly positive on
+    learnable photo content and negative on content the net cannot model
+    (pure noise has no cross-scale structure to learn)."""
+    from srs_tpu.models.registry import is_pretrained
+    from srs_tpu.models.routing import probe_sr_gain
+
+    if not is_pretrained("edsr_l", 2):
+        pytest.skip("no packaged edsr_l x2 checkpoint")
+    lr = _clean_lr(720, 192)
+    g_photo = probe_sr_gain(lr, "edsr_l", 2)
+    assert g_photo is not None and g_photo > 0.3, g_photo
+    rng = np.random.default_rng(9)
+    noise = (rng.random((192, 192, 3)) * 255).astype(np.float32)
+    g_noise = probe_sr_gain(noise, "edsr_l", 2)
+    assert g_noise is not None and g_noise < 0.0, g_noise
+    # too-small input: probe declines instead of guessing
+    assert probe_sr_gain(lr[:64, :64], "edsr_l", 2) is None
+
+
+def test_pipeline_probe_routes_to_bicubic(tmp_path, monkeypatch):
+    """When the SR-gain probe measures the net below the floor, the whole
+    job serves the bicubic ladder and records why (VERDICT r4 #7)."""
+    import srs_tpu.models.routing as routing
+    from srs_tpu.pipeline import PipelineConfig, SuperResolutionPipeline
+
+    lr = _clean_lr(711, 64)
+    cfg = PipelineConfig(block_size=64, target_resolution="128x128",
+                         provider="quality", enable_qa=False)
+    monkeypatch.setattr(routing, "probe_sr_gain",
+                        lambda *a, **k: -0.5)
+    pipe = SuperResolutionPipeline(cfg)
+    r = pipe.process(lr, str(tmp_path / "probe_bicubic.png"))
+    assert r.success
+    assert pipe.last_run_info["provider"] == "bicubic"
+    assert pipe.last_run_info["sr_gain_probe"] == -0.5
+    # above the floor: the quality provider serves as configured
+    monkeypatch.setattr(routing, "probe_sr_gain",
+                        lambda *a, **k: 1.5)
+    pipe2 = SuperResolutionPipeline(cfg)
+    r2 = pipe2.process(lr, str(tmp_path / "probe_net.png"))
+    assert r2.success
+    assert pipe2.last_run_info["provider"] == "quality"
+
+
 def test_pipeline_routes_noisy_input(tmp_path):
     """End-to-end: a noisy input swaps the quality tier to the robust net
     (visible through the SR module's built apply-fns)."""
