@@ -26,6 +26,7 @@ def calculate_estimates(
     overlap_ratio: float = 0.2,
     mp_per_sec: float = DEFAULT_MP_PER_SEC,
     num_chips: int = 1,
+    self_ensemble: bool = False,
 ) -> Dict[str, float]:
     current = width * height
     scale = math.sqrt(target_pixels / max(current, 1))
@@ -35,6 +36,10 @@ def calculate_estimates(
     num_tiles = tiles_x * tiles_y
     target_mp = target_pixels / 1e6
     est_seconds = target_mp / max(mp_per_sec * num_chips, 1e-6)
+    if self_ensemble:
+        # "+" runs the SR stage 8x; SR is ~12% of measured e2e time
+        # (BENCH_r04 stage split), so e2e ~= 1 + 7 * 0.12
+        est_seconds *= 1.84
     return {
         "scale_factor": scale,
         "tiles_x": tiles_x,

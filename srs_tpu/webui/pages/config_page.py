@@ -50,15 +50,28 @@ def render() -> None:
     set_state("max_tiles", max_tiles)
 
     st.subheader("Model")
-    providers = ["quality", "fast", "hybrid", "bicubic", "zssr"]
+    # Ordered by held-out panel quality per compute (EVAL.json panel
+    # blocks): quality (+ the self-ensemble toggle below for the best
+    # result) > fusion (5-net blend; loses to one self-ensembled net on
+    # the panel — kept for parity) > hybrid > fast > bicubic; zssr is the
+    # per-image adaptation ceiling probe.
+    providers = ["quality", "fusion", "hybrid", "fast", "bicubic", "zssr"]
+    cur_prov = get_state("model_version", "quality")
     model = st.selectbox(
         "Provider", providers,
-        index=providers.index(get_state("model_version", "quality")),
+        index=providers.index(cur_prov) if cur_prov in providers else 0,
     )
+    best = st.checkbox(
+        "Best quality: self-ensemble (\"+\", 8 dihedral passes — wins the "
+        "held-out panel at every scale; ~8x SR-stage compute)",
+        value=bool(get_state("self_ensemble", False)),
+    )
+    set_state("self_ensemble", best)
     nets = ["edsr_xl", "edsr_l", "edsr_l_robust", "edsr_m", "rcan", "espcn"]
     cur_net = get_state("quality_model", "edsr_xl")
     qnet = st.selectbox(
-        "Quality net", nets,
+        "Quality net (fallback; each ladder step auto-serves the "
+        "panel-best packaged net at that scale)", nets,
         index=nets.index(cur_net) if cur_net in nets else 0,
     )
     fusion = st.selectbox(
@@ -84,7 +97,8 @@ def render() -> None:
         set_state("negative_prompt", st.text_input("Negative prompt", get_state("negative_prompt", "")))
 
     est = calculate_estimates(
-        info["width"], info["height"], target_pixels, tile, overlap
+        info["width"], info["height"], target_pixels, tile, overlap,
+        self_ensemble=best,
     )
     st.subheader("Estimate")
     c1, c2, c3 = st.columns(3)

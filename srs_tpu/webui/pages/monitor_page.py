@@ -42,6 +42,7 @@ def _run_pipeline(image, cfg_state: dict) -> None:
             provider=cfg_state["model_version"],
             quality_model=cfg_state.get("quality_model", "edsr_xl"),
             blend_method=cfg_state["fusion_algorithm"],
+            self_ensemble=bool(cfg_state.get("self_ensemble", False)),
             # industry template steers the conditioned polish
             prompt_category=cfg_state.get("prompt_category"),
         )
@@ -87,6 +88,7 @@ def render() -> None:
             cfg["target_resolution"] = get_state("target_resolution")
             cfg["model_version"] = get_state("model_version")
             cfg["fusion_algorithm"] = get_state("fusion_algorithm")
+            cfg["self_ensemble"] = get_state("self_ensemble")
             start_worker(img, cfg)
 
     st.subheader("Stage")
