@@ -49,6 +49,12 @@ def make_input(path: str) -> None:
 
 
 def main() -> None:
+    # The headline numbers are chip numbers: refuse a silent CPU-backend
+    # fallback (axon lease races; SRS_BENCH_CPU_OK=1 for local debugging).
+    if os.environ.get("SRS_BENCH_CPU_OK", "0") != "1":
+        from srs_tpu.utils.tpu_guard import require_tpu
+
+        require_tpu()
     from srs_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -135,6 +135,10 @@ def main() -> None:
     import jax
     import numpy as np
 
+    from srs_tpu.utils.tpu_guard import require_tpu
+
+    require_tpu()
+
     t0 = time.time()
     corpus = jax.device_put(
         np.clip(np.round(corpus), 0, 255).astype(np.uint8)

@@ -16,10 +16,19 @@ stage() {  # name timeout_s cmd...
   local name=$1 t=$2; shift 2
   if [ -f "$LOG/$name.done" ]; then echo "== $name: already done"; return; fi
   echo "== $name: start $(date +%H:%M:%S)"
-  timeout "$t" "$@" > "$LOG/$name.log" 2>&1
-  local rc=$?
+  local rc=0
+  for attempt in 1 2 3; do
+    timeout "$t" "$@" > "$LOG/$name.log" 2>&1
+    rc=$?
+    # rc=3 = tpu_guard: the axon lease had not released yet (the previous
+    # stage exited the same second) -- wait and retry, never run on CPU
+    [ $rc -ne 3 ] && break
+    echo "== $name: TPU lease not attached (attempt $attempt); retrying in 30s"
+    sleep 30
+  done
   if [ $rc -eq 0 ]; then touch "$LOG/$name.done"; echo "== $name: OK $(date +%H:%M:%S)"; else
     echo "== $name: FAILED rc=$rc (see $LOG/$name.log)"; fi
+  sleep 5  # let the TPU lease release before the next stage
 }
 
 stage ark_pkg_eval 3600 python scripts/eval_ark.py

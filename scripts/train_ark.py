@@ -42,6 +42,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from srs_tpu.utils.tpu_guard import require_tpu
+
+        require_tpu()
 
     from srs_tpu.models.generative import make_class_corpus, train_ark
     from srs_tpu.utils.compile_cache import enable_compilation_cache

@@ -38,6 +38,10 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from srs_tpu.utils.tpu_guard import require_tpu
+
+        require_tpu()
 
     import jax.numpy as jnp
     import numpy as np
