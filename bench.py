@@ -75,6 +75,8 @@ def main() -> None:
         # per-scale panel-best selection (models/selection.py); pin the
         # configured net for every step with SRS_BENCH_PER_SCALE=0 (A/B)
         per_scale_selection=os.environ.get("SRS_BENCH_PER_SCALE", "1") == "1",
+        # the "+" best-quality tier (8 dihedral passes) for its cost row
+        self_ensemble=os.environ.get("SRS_BENCH_ENSEMBLE", "0") == "1",
         ibp_steps=int(os.environ.get("SRS_BENCH_IBP", "4")),
         bit_depth=int(os.environ.get("SRS_BENCH_BITDEPTH", "8")),
         enable_qa=os.environ.get("SRS_BENCH_QA", "1") == "1",

@@ -65,4 +65,11 @@ stage quality_panel 3600 python scripts/quality_bench.py --n 4 --size 512
 stage panel_zssr 3600 python scripts/photo_eval.py --scale 2 --models zssr \
   --write-eval
 
+# --- wall-time cost rows for the quality alternatives (VERDICT r4 #6:
+# the dB-per-second comparison must be written down; post-refit fusion).
+# Last: their 8-pass / multi-net 4608px programs stress the remote
+# compile helper and must not block the panels above.
+stage bench_ensemble 5400 env SRS_BENCH_ENSEMBLE=1 python bench.py
+stage bench_fusion 5400 env SRS_BENCH_PROVIDER=fusion python bench.py
+
 echo "ROUND5B FLEET DONE $(date +%H:%M:%S)"
