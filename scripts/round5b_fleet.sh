@@ -38,6 +38,10 @@ stage bench_default 5400 python bench.py
 stage bench_block1024 5400 env SRS_BENCH_BLOCK=1024 python bench.py
 # selection A/B: pin edsr_xl for every step (the round-4 configuration)
 stage bench_pinned 5400 env SRS_BENCH_PER_SCALE=0 python bench.py
+# the round-3 configuration (edsr_l, trained-[2,2,3]-style ladder):
+# explains the 81.99 -> 81.74 quality_score slip across the default flip
+# (VERDICT r4 weak #2) by holding everything else fixed
+stage bench_edsr_l 5400 env SRS_BENCH_QMODEL=edsr_l SRS_BENCH_PER_SCALE=0 python bench.py
 
 # --- fusion refit against the "+" members (then panels measure it) ----
 stage fusion_refit 3600 python scripts/fit_fusion.py --scales 2,3,4 \
