@@ -111,6 +111,12 @@ def main() -> None:
 
         require_tpu()
 
+    # this tunnel's compile helper takes minutes per program — persist
+    # every compile so a retried/killed run resumes through them
+    from srs_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -133,8 +139,12 @@ def main() -> None:
         import zlib
 
         seed = zlib.crc32(net.encode()) % (2**31)
-        params = module.init(jax.random.PRNGKey(seed),
-                             jnp.zeros((1, args.size, args.size, 3), jnp.float32))
+        # jit the init: eager flax init dispatches ~40 per-op programs and
+        # each pays the remote compile helper (observed: 20+ min before
+        # the first training line); one jitted program compiles once
+        params = jax.jit(module.init)(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, args.size, args.size, 3), jnp.float32))
 
         def distance_p(p, a, b):
             an = a / 127.5 - 1.0

@@ -43,6 +43,10 @@ def main() -> None:
 
         require_tpu()
 
+    from srs_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     import numpy as np
     import optax
