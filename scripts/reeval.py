@@ -34,14 +34,9 @@ def main() -> None:
         "srs_tpu", "models", "checkpoints",
     )
 
+    from srs_tpu.models.evaljson import update_eval
     from srs_tpu.models.registry import MODEL_REGISTRY, build_model, is_pretrained
     from srs_tpu.models.train import eval_on_holdout
-
-    panel_path = os.path.join(out_dir, "EVAL.json")
-    panel = {}
-    if os.path.exists(panel_path):
-        with open(panel_path) as f:
-            panel = json.load(f)
 
     for name in sorted(MODEL_REGISTRY):
         for scale in (1, 2, 3, 4):
@@ -59,18 +54,13 @@ def main() -> None:
                 )
                 stats["psnr_net_degraded"] = deg["psnr_net"]
                 stats["psnr_bicubic_degraded"] = deg["psnr_bicubic"]
-            old = panel.get(tag, {})
-            for k in ("final_loss", "train_seconds", "degradation", "mix",
-                      "hr_grain", "init_from", "lr"):
-                if k in old:
-                    stats[k] = old[k]
-            panel[tag] = stats
+            # same weights, fresher eval code: merge — training provenance
+            # and the derived evidence blocks (photo_panel, cond_panel)
+            # remain valid and untouched
+            update_eval(out_dir, tag, stats)
             print(f"[{tag}] {json.dumps(stats)} ({time.time()-t0:.1f}s)",
                   flush=True)
-
-    with open(panel_path, "w") as f:
-        json.dump(panel, f, indent=1, sort_keys=True)
-    print("wrote", panel_path)
+    print("updated", os.path.join(out_dir, "EVAL.json"))
 
 
 if __name__ == "__main__":
