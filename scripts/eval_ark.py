@@ -72,6 +72,16 @@ def main():
     from srs_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.checkpoint_dir:
+        # an explicit dir must hold the checkpoint: the packaged fallback
+        # once silently graded the OLD model after a failed train (r5)
+        marker = os.path.join(args.checkpoint_dir, "ark_gen_x1",
+                              "_CHECKPOINT_METADATA")
+        if not os.path.isfile(marker):
+            print(f"no committed ark_gen_x1 checkpoint in "
+                  f"{args.checkpoint_dir}; refusing the packaged fallback",
+                  file=sys.stderr)
+            return 1
     module, params, trained = build_ark(args.checkpoint_dir)
     if not trained:
         print("no packaged ark_gen checkpoint", file=sys.stderr)

@@ -390,21 +390,24 @@ def train_ark(
         params = loaded
     tx = make_optimizer(lr)
     opt_state = tx.init(params)
-    # Upload uint8 and dequantize on device: the tunneled link makes a
-    # float32 corpus upload (600 MB at 128 px) minutes-long on bad days;
-    # class renders are 8-bit-representable to within +-0.5.
+    # Upload uint8 and keep it uint8 on device (dequantize per minibatch
+    # inside the step): the tunneled link makes a float32 corpus upload
+    # (600 MB at 128 px) minutes-long on bad days, class renders are
+    # 8-bit-representable to within +-0.5, AND the corpus must ride as a
+    # run_chunk ARGUMENT — a closed-over array is embedded in the compile
+    # request, which the remote compile helper rejects with HTTP 413 at
+    # 128 px (604 MB f32 body; observed round 5).
     x_d = jax.device_put(np.clip(np.round(x_np), 0, 255).astype(np.uint8))
-    x_d = (x_d.astype(jnp.float32) / 127.5) - 1.0
     y_d = jax.device_put(jnp.asarray(y_np))
     n = x_d.shape[0]
     ncls = len(ARK_CLASSES)
 
     def one_step(carry, k):
-        p, o, ema = carry
+        p, o, ema, x8, yv = carry
         k1, k2, k3, k4, k5 = jax.random.split(k, 5)
         idx = jax.random.randint(k1, (batch,), 0, n)
-        x0 = x_d[idx]
-        y = y_d[idx]
+        x0 = (x8[idx].astype(jnp.float32) / 127.5) - 1.0
+        y = yv[idx]
         # classifier-free label dropout -> the uncond token (== ncls)
         y = jnp.where(jax.random.uniform(k4, (batch,)) < drop_label, ncls, y)
         x0 = jnp.where(
@@ -425,12 +428,13 @@ def train_ark(
         p2 = optax.apply_updates(p, up)
         ema2 = jax.tree.map(lambda e, q: e * ema_decay + q * (1 - ema_decay),
                             ema, p2)
-        return (p2, o2, ema2), loss
+        return (p2, o2, ema2, x8, yv), loss
 
     @jax.jit
-    def run_chunk(p, o, ema, k):
+    def run_chunk(p, o, ema, x8, yv, k):
         ks = jax.random.split(k, scan_chunk)
-        (p, o, ema), losses = jax.lax.scan(one_step, (p, o, ema), ks)
+        (p, o, ema, _, _), losses = jax.lax.scan(
+            one_step, (p, o, ema, x8, yv), ks)
         return p, o, ema, losses.mean()
 
     ema = params
@@ -443,7 +447,8 @@ def train_ark(
     log_stride = max(1000 // max(scan_chunk, 1), 1)
     for ci, start in enumerate(range(0, steps, scan_chunk)):
         key, sub = jax.random.split(key)
-        params, opt_state, ema, lchunk = run_chunk(params, opt_state, ema, sub)
+        params, opt_state, ema, lchunk = run_chunk(
+            params, opt_state, ema, x_d, y_d, sub)
         if ci == n_chunks - 1 or (ci + 1) % log_stride == 0:
             loss = float(lchunk)
             if log_fn is not None:
