@@ -68,8 +68,11 @@ def main() -> int:
     for tag, hr in panel:
         lr = cv2.resize(hr, (hr.shape[1] // s, hr.shape[0] // s),
                         interpolation=cv2.INTER_AREA)
-        base = pe.psnr(np.clip(np.asarray(
-            resize_bicubic_up(jnp.asarray(lr)[None], s))[0], 0, 255), hr)
+        # quantize the baseline like the pipeline's 8-bit output: scoring
+        # float bicubic against a uint8 PNG reads ~-0.04 dB of pure
+        # quantization as a "loss"
+        base = pe.psnr(np.round(np.clip(np.asarray(
+            resize_bicubic_up(jnp.asarray(lr)[None], s))[0], 0, 255)), hr)
         pipe.config.target_resolution = f"{hr.shape[1]}x{hr.shape[0]}"
         out = os.path.join("/tmp", f"routed_{tag}_x{s}.png")
         r = pipe.process(lr, out)
