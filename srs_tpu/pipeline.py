@@ -76,9 +76,14 @@ class PipelineConfig:
     # SR-gain self-probe (models/routing.py probe_sr_gain): reconstruct a
     # crop of THIS input through the net and through bicubic; when the net
     # measures below this floor (dB vs bicubic) the whole job serves the
-    # bicubic ladder — the per-image guard for self-similar textures
+    # sr_gain_route ladder — the per-image guard for self-similar textures
     # (wood-family panel crops) where every clean net loses to bicubic.
     sr_gain_floor: float = 0.0
+    # Where probe-negative inputs go: "bicubic" (never hallucinate; the
+    # safe floor) or "zssr" (fine-tune the prior on the input's own
+    # statistics first — self-similar textures are zssr's home turf;
+    # costs zssr_steps of per-image training).
+    sr_gain_route: str = "bicubic"
     # Per-scale family selection (models/selection.py): each ladder step
     # serves the panel-best packaged net at that scale (x2 -> edsr_l,
     # x3/x4 -> edsr_xl on the round-4 panel); quality_model is the
@@ -790,11 +795,12 @@ class SuperResolutionPipeline:
                     probe_model = self._ladder_models([int(ladder[0])])[0]
                     sr_gain = probe_sr_gain(image, probe_model, int(ladder[0]))
                     if sr_gain is not None and sr_gain < self.config.sr_gain_floor:
-                        routed_provider = "bicubic"
+                        routed_provider = self.config.sr_gain_route
                         logger.info(
                             "SR-gain probe: %s x%d measures %+.2f dB vs "
-                            "bicubic on this input -> bicubic ladder",
+                            "bicubic on this input -> %s ladder",
                             probe_model, int(ladder[0]), sr_gain,
+                            routed_provider,
                         )
                 except Exception:  # noqa: BLE001 - the probe is best-effort
                     routed_provider = None
@@ -820,10 +826,12 @@ class SuperResolutionPipeline:
                 self._stage_sem.acquire()
                 sem_held = True
             t0 = time.time()
-            if self.config.provider == "zssr" and ladder:
+            if (routed_provider or self.config.provider) == "zssr" and ladder:
                 # Zero-shot SR: fine-tune on the input itself so the net
                 # learns this image's internal statistics (the on-device
-                # analog of a per-image "quality" engine).
+                # analog of a per-image "quality" engine). Also the
+                # sr_gain_route="zssr" destination for probe-negative
+                # inputs.
                 self.sr_module.zssr_prepare(
                     image, scale=ladder[0], steps=self.config.zssr_steps
                 )
