@@ -31,6 +31,15 @@ stage() {  # name timeout_s cmd...
   sleep 5  # let the TPU lease release before the next stage
 }
 
+# NR null model for the print-acceptability verdict (VERDICT r4 weak #1):
+# the mosaic bench showed brisque_delta +38.6 on a real-photo input — if
+# an artifact-free (but soft) BICUBIC 84 MP output scores comparably
+# high, the elevation is what the NR scale says about ANY 9.6x-magnified
+# content (scale transfer), not net artifacts; if bicubic reads natural,
+# the net output carries real artifacts to hunt.
+stage bench_mosaic_bicubic 5400 env SRS_BENCH_INPUT=mosaic \
+  SRS_BENCH_PROVIDER=bicubic python bench.py
+
 stage ark_pkg_eval 3600 python scripts/eval_ark.py
 stage gen2k_ab 5400 python scripts/gen_quality.py --refine --crops 4
 stage gen2k_latency 3600 python - <<'EOF'
