@@ -169,13 +169,29 @@ def main() -> None:
     # degradation-aware; from pipeline.last_run_info) over the measured SR
     # stage time. IBP/blend excluded — bandwidth-bound, not MXU work.
     info = getattr(pipe, "last_run_info", None)
+    # A row must say what ACTUALLY ran: round-5 lesson — the first
+    # ensemble/fusion cost rows measured the degradation ladder's bicubic
+    # fallback (every fully-traced multi-pass program killed the remote
+    # compile helper) while labeling themselves fusion/ensemble.
+    if info:
+        if info.get("provider") != cfg.provider:
+            result["provider_used"] = info.get("provider")
+        if info.get("sr_attempts", 1) > 1 or info.get("sr_degradations", 0):
+            result["degraded"] = True
+            result["sr_attempts"] = info.get("sr_attempts")
     if info and info.get("model") and info.get("ladder") and not info.get("resumed"):
-        from srs_tpu.utils.flops import ladder_flops, mfu
+        from srs_tpu.utils.flops import ladder_flops, mfu, multipass_ladder_flops
 
-        flops = nbatch * ladder_flops(
-            info["model"], info["ladder"], info["block"], info["num_tiles"],
-            models=info.get("models"),
-        )
+        if info.get("step_members"):
+            flops = nbatch * multipass_ladder_flops(
+                info["step_members"], info["ladder"], info["block"],
+                info["num_tiles"],
+            )
+        else:
+            flops = nbatch * ladder_flops(
+                info["model"], info["ladder"], info["block"], info["num_tiles"],
+                models=info.get("models"),
+            )
         sr_s = r.stage_times.get("super_resolution", info["sr_seconds"])
         result.update(mfu(flops, sr_s * nbatch))
         result["routed_model"] = info["model"]

@@ -49,17 +49,20 @@ def main() -> None:
         render = render_natural if i % 2 else render_image
         images.append(("proc", render(880_000 + i, hr_size)))
     if not args.no_photo:
-        # Permanent held-out row: the one real photograph in this
-        # environment (never trained on — tests/test_photo_holdout.py).
-        from photo_eval import load_photo
+        # Permanent held-out row: the real-photograph eval panel (never
+        # trained on — tests/test_photo_holdout.py). load_panel yields
+        # common-shape 420x504 crops; pad/crop handling stays in the
+        # pipeline under test.
+        from photo_eval import load_panel
 
-        photo = load_photo()
-        ph, pw = photo.shape[:2]
-        s = min(hr_size / ph, hr_size / pw, 1.0)
-        if s < 1.0:
-            photo = cv2.resize(photo, (int(pw * s) // 4 * 4, int(ph * s) // 4 * 4),
-                               interpolation=cv2.INTER_AREA)
-        images.append(("photo", photo))
+        for tag, photo in load_panel(["portrait"]):
+            ph, pw = photo.shape[:2]
+            s = min(hr_size / ph, hr_size / pw, 1.0)
+            if s < 1.0:
+                photo = cv2.resize(
+                    photo, (int(pw * s) // 4 * 4, int(ph * s) // 4 * 4),
+                    interpolation=cv2.INTER_AREA)
+            images.append(("photo", photo))
 
     def psnr(a, b):
         mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

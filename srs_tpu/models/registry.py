@@ -10,6 +10,7 @@ build.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -18,6 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from .nets import EDSR, ESPCN, RCAN
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["ModelSpec", "MODEL_REGISTRY", "build_model", "clear_param_cache"]
 
@@ -131,15 +134,29 @@ def _try_load_checkpoint(
         try:
             import orbax.checkpoint as ocp
 
-            abstract = jax.eval_shape(init_fn)
-            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
-            abstract = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
-                abstract,
-            )
-            ckptr = ocp.StandardCheckpointer()
-            return ckptr.restore(os.path.abspath(path), abstract)
+            # ensure_compile_time_eval: build_model can be reached from
+            # inside a jit trace (the fused ladder program / the mesh
+            # dispatcher); without it the restore's device_put returns
+            # tracers, orbax raises, and the except below silently marks a
+            # PACKAGED net untrained for the rest of the process (observed
+            # round 5: fusion members rcan/edsr_m/espcn dropped and the
+            # provider served a poisoned member list).
+            with jax.ensure_compile_time_eval():
+                abstract = jax.eval_shape(init_fn)
+                sharding = jax.sharding.SingleDeviceSharding(
+                    jax.local_devices()[0])
+                abstract = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype, sharding=sharding),
+                    abstract,
+                )
+                ckptr = ocp.StandardCheckpointer()
+                return ckptr.restore(os.path.abspath(path), abstract)
         except Exception:
+            logger.warning(
+                "checkpoint restore failed for %s_x%d under %s "
+                "(falling through)", name, scale, d, exc_info=True,
+            )
             continue
     return None
 

@@ -307,6 +307,29 @@ class SuperResolutionPipeline:
                 self.sr_module.config.checkpoint_dir,
                 jnp.dtype(self.sr_module.config.compute_dtype),
             )
+        # Warm every net the ladder will serve EAGERLY, before any jit
+        # trace: a checkpoint restore reached from inside a trace used to
+        # fail into the silent bicubic-init fallback (registry now also
+        # guards with ensure_compile_time_eval, but warm checkpoints keep
+        # the trace free of host IO) — and _net_trained/_fusion_for answers
+        # are only accurate once the nets are built.
+        if provider_name not in ("bicubic",):
+            for s in ladder:
+                members = (
+                    self.sr_module._fusion_for(int(s))
+                    if provider_name == "fusion" and model is None
+                    else None
+                ) or [(None, 1.0)]
+                for nm, _w in members:
+                    if nm == "bicubic":
+                        continue
+                    role = ("quality" if provider_name in (
+                        "quality", "seedream", "hybrid", "zssr", "fusion")
+                        else "fast")
+                    self.sr_module._net(
+                        role, int(s),
+                        model=nm.rstrip("+") if nm else model,
+                    )
         if self.dispatcher is not None and provider_name != "bicubic":
             provider = provider_name
             steps = self.config.ibp_steps
@@ -331,6 +354,34 @@ class SuperResolutionPipeline:
                     f"{self._ladder_models(list(ladder), model, provider=provider_name)}",
             )
         n = int(tiles.shape[0])
+        # Multi-pass providers (the "+" dihedral self-ensemble and the
+        # fusion blend) run STAGED: tracing all passes into one program
+        # (8 transforms x members x ladder steps) built a jit program that
+        # exceeded HBM at the 100MP preset (measured 18.61G > 15.75G with
+        # the 2-tile chunk) and SIGKILLed this image's remote compile
+        # helper — every bench attempt failed and the degradation ladder
+        # silently served bicubic. Staging keeps each compiled program at
+        # the single-pass footprint (see _staged_multipass).
+        ens_cfg = bool(getattr(self.config, "self_ensemble", False))
+        square = tiles.shape[1] == tiles.shape[2]
+
+        def _step_trained(s: int) -> bool:
+            # What actually serves at this step: the resolved fusion
+            # members (already filtered to trained checkpoints) or the
+            # resolved quality net.
+            if provider_name == "fusion" and model is None:
+                if self.sr_module._fusion_for(int(s)) is not None:
+                    return True
+            return self.sr_module._net_trained("quality", int(s), model=model)
+
+        if (
+            square
+            and ladder
+            and provider_name not in ("bicubic", "zssr")
+            and (ens_cfg or (provider_name == "fusion" and model is None))
+            and all(_step_trained(s) for s in ladder)
+        ):
+            return self._staged_multipass(tiles, ladder, provider_name, model, cat)
         final_block = int(tiles.shape[1]) * int(np.prod(ladder)) if ladder else int(tiles.shape[1])
         # Peak per tile ~= pre-shuffle feature maps (64ch bf16 at output
         # resolution after progressive x2 stages) + fp32 output. Budget
@@ -382,6 +433,76 @@ class SuperResolutionPipeline:
             outs.append(ladder_chunk(tiles[i : i + chunk]))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
+    def _staged_multipass(
+        self,
+        tiles: jnp.ndarray,
+        ladder: List[int],
+        provider_name: str,
+        model: Optional[str],
+        cat: Optional[str],
+    ) -> jnp.ndarray:
+        """Dispatch-staged execution for multi-pass providers.
+
+        Semantics match ``upscale_tiles``: per ladder step, a weighted sum
+        over fusion members, each member optionally averaged over the 8
+        dihedral transforms. The difference is execution shape: ONE cached
+        single-net program per (member, scale) — the same programs the
+        plain quality path compiles — with the rot90/flip transforms and
+        the weighted accumulate dispatched as separate small XLA programs.
+        Peak HBM stays at the single-pass footprint plus one accumulator,
+        and the remote compile helper only ever sees single-net programs
+        (the fully-traced variant was 22 net applications per step at the
+        refit fusion's member list and OOMed/killed it; see CLAUDE.md's
+        staged-per-level rule for the blend, same hazard). The ~90 ms
+        per-dispatch host latency hides under device compute exactly as in
+        the chunked ladder path (measured there, r3)."""
+        from .ops.resize import resize_bicubic_up
+
+        sr = self.sr_module
+        ens_cfg = bool(getattr(self.config, "self_ensemble", False))
+        n = int(tiles.shape[0])
+        final_block = int(tiles.shape[1]) * int(np.prod(ladder))
+        bytes_per_tile = final_block * final_block * 160
+        chunk = max(1, min(n, int(7e9 // max(bytes_per_tile, 1))))
+
+        def member_pass(net, x, ensembled: bool) -> jnp.ndarray:
+            if not ensembled:
+                return net(x)
+            acc = None
+            for k in range(4):
+                for flip in (False, True):
+                    t = jnp.rot90(x, k, axes=(1, 2))
+                    if flip:
+                        t = t[:, :, ::-1]
+                    o = net(t)
+                    if flip:
+                        o = o[:, :, ::-1]
+                    o = jnp.rot90(o, -k, axes=(1, 2))
+                    acc = o if acc is None else acc + o
+            return acc / 8.0
+
+        outs = []
+        for i in range(0, n, chunk):
+            cur = tiles[i : i + chunk]
+            for si, s in enumerate(ladder):
+                members = None
+                if provider_name == "fusion" and model is None:
+                    members = sr._fusion_for(s)
+                if members is None:
+                    members = [(model or sr._resolve("quality", s, model), 1.0)]
+                acc = None
+                for name, w in members:
+                    if name == "bicubic":
+                        y = resize_bicubic_up(cur, s)
+                    else:
+                        base = name.rstrip("+")
+                        net = sr._net("quality", s, model=base)
+                        y = member_pass(net, cur, ens_cfg or name.endswith("+"))
+                    acc = y * w if acc is None else acc + y * w
+                cur = jnp.clip(acc, 0, 255)
+            outs.append(sr._conditioned(cur, cat) if cat is not None else cur)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     # -- stage 2 with failure recovery --------------------------------------
     _FALLBACK_PROVIDERS = {"quality": "fast", "hybrid": "fast", "zssr": "fast",
                            "seedream": "fast", "fusion": "fast",
@@ -420,6 +541,12 @@ class SuperResolutionPipeline:
                     category=category,
                 )
                 up_tiles.block_until_ready()
+                # Instrumentation for last_run_info/bench: a row that ran
+                # through retries or the degradation ladder must say so —
+                # round-5 lesson: two bench rows silently measured the
+                # bicubic fallback and labeled it fusion/ensemble.
+                self._sr_attempts = attempt + 1
+                self._sr_degradations = degradations
                 return up_tiles, layout, ladder, provider
             except Exception as e:  # noqa: BLE001 - any device failure enters the ladder
                 if self.scheduler is None or attempt == max_attempts - 1:
@@ -836,6 +963,7 @@ class SuperResolutionPipeline:
                     image, scale=ladder[0], steps=self.config.zssr_steps
                 )
             tasks = self._book_tasks(layout.num_tiles, output_path, scale_total)
+            self._sr_attempts, self._sr_degradations = 1, 0
 
             # Mid-run resume: probe the tile store for already-upscaled
             # tiles from a killed previous run (reference: main.py:299-304
@@ -913,6 +1041,33 @@ class SuperResolutionPipeline:
                 step_models = [model_used] * len(ladder)
             else:
                 model_used = None
+            # Multi-pass accounting: per step, [net, n_passes] pairs (8 for
+            # a dihedral "+" pass, 1 otherwise; bicubic members excluded —
+            # resizes are bandwidth, not MXU work). MFU for the ensemble/
+            # fusion cost rows divides by THIS work, not the single-pass
+            # ladder's (utils/flops.multipass_ladder_flops).
+            step_members: Optional[List[List[list]]] = None
+            ens_used = bool(getattr(self.config, "self_ensemble", False))
+            if step_models is not None and (
+                ens_used or prov_used == "fusion"
+            ):
+                step_members = []
+                for si, s in enumerate(ladder):
+                    fused = (
+                        self.sr_module._fusion_for(int(s))
+                        if prov_used == "fusion" and routed_model is None
+                        else None
+                    )
+                    if fused is None:
+                        step_members.append(
+                            [[step_models[si], 8 if ens_used else 1]]
+                        )
+                    else:
+                        step_members.append([
+                            [nm.rstrip("+"),
+                             8 if (ens_used or nm.endswith("+")) else 1]
+                            for nm, _w in fused if nm != "bicubic"
+                        ])
             self.last_run_info = {
                 "ladder": list(ladder),
                 "num_tiles": int(layout.num_tiles),
@@ -922,10 +1077,15 @@ class SuperResolutionPipeline:
                 # per-scale selection: the net each ladder step served
                 # (models/selection.py) — MFU accounting keys on this
                 "models": step_models,
+                "step_members": step_members,
                 "resumed": not recomputed,
                 "sr_seconds": stage_times["super_resolution"],
                 # per-image internal validation result (None = not probed)
                 "sr_gain_probe": sr_gain,
+                # retry/degradation trail: >1 attempts or >0 degradations
+                # means this run does NOT measure the configured provider
+                "sr_attempts": getattr(self, "_sr_attempts", 1),
+                "sr_degradations": getattr(self, "_sr_degradations", 0),
             }
 
             # ---- Stage 3: blending ----

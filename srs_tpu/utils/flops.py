@@ -22,7 +22,8 @@ from typing import Any, List, Optional
 import jax
 import numpy as np
 
-__all__ = ["conv_flops_per_pixel", "ladder_flops", "chip_peak_flops", "mfu"]
+__all__ = ["conv_flops_per_pixel", "ladder_flops", "multipass_ladder_flops",
+           "chip_peak_flops", "mfu"]
 
 # Published dense bf16 peak FLOP/s per chip generation.
 _PEAKS = {
@@ -82,6 +83,33 @@ def ladder_flops(
         _, params = build_model(name, s, checkpoint_dir)
         total += conv_flops_per_pixel(params) * res * res * n_tiles
         res *= s
+    return total
+
+
+def multipass_ladder_flops(
+    step_members: List[List],
+    ladder: List[int],
+    block: int,
+    n_tiles: int,
+    checkpoint_dir: Optional[str] = None,
+) -> float:
+    """Total conv FLOPs of a multi-pass ladder (self-ensemble / fusion).
+
+    ``step_members`` is pipeline.last_run_info["step_members"]: per ladder
+    step, a list of [net_name, n_passes] pairs — 8 passes for a dihedral
+    "+" member, 1 otherwise; bicubic members are excluded upstream (a
+    resize is bandwidth, not MXU work). The honest denominator for the
+    ensemble/fusion cost rows: 8x the work must count as 8x the FLOPs or
+    the tier's MFU reads as an 8x regression."""
+    from ..models.registry import build_model
+
+    total = 0.0
+    res = block
+    for s, members in zip(ladder, step_members):
+        for name, passes in members:
+            _, params = build_model(name, int(s), checkpoint_dir)
+            total += passes * conv_flops_per_pixel(params) * res * res * n_tiles
+        res *= int(s)
     return total
 
 
