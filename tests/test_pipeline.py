@@ -345,6 +345,12 @@ def test_failure_ladder_degrades_to_fallback(input_png, tmp_path):
     assert stats["counters"]["retried"] >= 1
     with Image.open(out) as im:
         assert im.size == (320, 240)  # degraded net scale still hits target
+    # A degraded run must SAY so (round-5 lesson: two bench rows measured
+    # the bicubic fallback while labeled ensemble/fusion).
+    info = pipe.last_run_info
+    assert info["sr_attempts"] > 1
+    assert info["sr_degradations"] >= 1
+    assert info["provider"] != "quality"
 
 
 def test_failure_ladder_transient_retry(input_png, tmp_path):

@@ -75,3 +75,20 @@ def test_config_validation_and_presets():
     assert RESOLUTION_PRESETS["200MP"] == (17320, 11547)
     cfg = SystemConfig()
     assert cfg.super_resolution.target_size() == RESOLUTION_PRESETS["100MP"]
+
+
+def test_multipass_ladder_flops_counts_passes():
+    """The ensemble/fusion cost rows' MFU denominator: an 8-pass dihedral
+    member counts 8x the single-pass conv FLOPs, members sum."""
+    from srs_tpu.utils.flops import ladder_flops, multipass_ladder_flops
+
+    f1 = ladder_flops("espcn", [2], 64, 4)
+    assert f1 > 0
+    f8 = multipass_ladder_flops([[["espcn", 8]]], [2], 64, 4)
+    assert abs(f8 - 8 * f1) < 1e-3
+    # mixed member list at one step: sum of per-member pass counts
+    fm = multipass_ladder_flops([[["espcn", 8], ["espcn", 1]]], [2], 64, 4)
+    assert abs(fm - 9 * f1) < 1e-3
+    # two-step ladder: step 2 runs at step-1 output resolution
+    f2 = multipass_ladder_flops([[["espcn", 1]], [["espcn", 1]]], [2, 2], 64, 4)
+    assert abs(f2 - (f1 + ladder_flops("espcn", [2], 128, 4))) < 1e-3
