@@ -22,7 +22,7 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = ["DegradationEstimate", "estimate_degradation",
-           "route_quality_model", "probe_sr_gain"]
+           "route_quality_model", "probe_sr_gain", "probe_sr_alpha"]
 
 # Calibrated on the v3 corpus + bundled photos (see tests/test_routing.py):
 # clean area-downsampled inputs measure noise_sigma <= ~1.5 (the held-out
@@ -126,6 +126,55 @@ def probe_sr_gain(
     0). The probe shape is FIXED so the TPU compiles it once per
     (net, scale).
     """
+    stats = _probe_stats(image, model_name, scale, checkpoint_dir, crop)
+    if stats is None:
+        return None
+    m_net, m_bic, _num, _den = stats
+    return float(np.median(10.0 * np.log10(m_bic / m_net)))
+
+
+def probe_sr_alpha(
+    image: np.ndarray,
+    model_name: str,
+    scale: int = 2,
+    checkpoint_dir: str | None = None,
+    crop: int = 192,
+) -> tuple[float, float] | None:
+    """The shrinkage extension of :func:`probe_sr_gain`: besides the
+    median per-crop gain, fit the residual-shrinkage coefficient
+
+        alpha* = argmin_a  || y - (b + a (n - b)) ||^2
+               = <y - b, n - b> / ||n - b||^2   (pooled over crops)
+
+    where y = the crop's own pixels, b = bicubic reconstruction, n = net
+    reconstruction of the crop downscaled by ``scale``. Serving
+    ``b + alpha* (n - b)`` is the PSNR-optimal interpolation between the
+    two ladders on this image's internal statistics: on self-similar
+    textures where the net's hallucinated high frequencies hurt
+    (wood-family panel crops) alpha* shrinks toward bicubic but keeps the
+    correlated fraction of the net's detail — in-sample it is never worse
+    than EITHER pure ladder, unlike the binary net/bicubic route.
+    Returns ``(gain_db, alpha)`` with alpha clipped to [0, 1], or None
+    under the same conditions probe_sr_gain declines.
+    """
+    stats = _probe_stats(image, model_name, scale, checkpoint_dir, crop)
+    if stats is None:
+        return None
+    m_net, m_bic, num, den = stats
+    gain = float(np.median(10.0 * np.log10(m_bic / m_net)))
+    alpha = float(np.clip(num.sum() / max(den.sum(), 1e-9), 0.0, 1.0))
+    return gain, alpha
+
+
+def _probe_stats(
+    image: np.ndarray,
+    model_name: str,
+    scale: int,
+    checkpoint_dir: str | None,
+    crop: int,
+):
+    """Shared probe dispatch: per-crop (mse_net, mse_bic, <y-b,n-b>,
+    ||n-b||^2) as float64 numpy arrays, or None when the probe declines."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -163,18 +212,24 @@ def probe_sr_gain(
         module, params = build_model(model_name, scale, checkpoint_dir)
 
         @jax.jit
-        def both_mse(lr_b, hr_b):
+        def probe_stats(lr_b, hr_b):
             net = jnp.clip(module.apply(params, lr_b), 0, 255)
             bic = jnp.clip(resize_bicubic_up(lr_b, scale), 0, 255)
             m_net = jnp.mean((net - hr_b) ** 2, axis=(1, 2, 3))
             m_bic = jnp.mean((bic - hr_b) ** 2, axis=(1, 2, 3))
-            return m_net, m_bic
+            d = net - bic
+            num = jnp.sum((hr_b - bic) * d, axis=(1, 2, 3))
+            den = jnp.sum(d * d, axis=(1, 2, 3))
+            return m_net, m_bic, num, den
 
-        _PROBE_FNS[key] = both_mse
-    m_net, m_bic = _PROBE_FNS[key](jnp.asarray(lr), jnp.asarray(hr))
-    m_net = np.maximum(np.asarray(m_net, np.float64), 1e-12)
-    m_bic = np.maximum(np.asarray(m_bic, np.float64), 1e-12)
-    return float(np.median(10.0 * np.log10(m_bic / m_net)))
+        _PROBE_FNS[key] = probe_stats
+    m_net, m_bic, num, den = _PROBE_FNS[key](jnp.asarray(lr), jnp.asarray(hr))
+    return (
+        np.maximum(np.asarray(m_net, np.float64), 1e-12),
+        np.maximum(np.asarray(m_bic, np.float64), 1e-12),
+        np.asarray(num, np.float64),
+        np.asarray(den, np.float64),
+    )
 
 
 def route_quality_model(

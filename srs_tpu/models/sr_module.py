@@ -238,7 +238,8 @@ class SuperResolutionModule:
         and MFU accounting need the ACTUAL choice, not the config)."""
         role = (
             "quality"
-            if provider in ("quality", "seedream", "hybrid", "zssr", "fusion")
+            if provider in ("quality", "seedream", "hybrid", "zssr", "fusion",
+                            "shrink")
             else "fast"
         )
         return [self._resolve(role, s, model) for s in ladder]
@@ -657,7 +658,8 @@ class SuperResolutionModule:
         trained [2, 2] over zero-init [4] at 4x."""
         role = (
             "quality"
-            if provider in ("quality", "seedream", "hybrid", "zssr", "fusion")
+            if provider in ("quality", "seedream", "hybrid", "zssr", "fusion",
+                            "shrink")
             else "fast"
         )
         # per-scale selection: a scale counts trained when the net that
@@ -675,6 +677,7 @@ class SuperResolutionModule:
         steps: int = 0,
         model: Optional[str] = None,
         category: Optional[str] = None,
+        alpha: float = 1.0,
     ) -> jax.Array:
         """Jit-friendly batch path: [N,B,B,C] float32 [0,255] -> upscaled.
 
@@ -683,9 +686,20 @@ class SuperResolutionModule:
         use. ``model`` overrides the quality/fast registry pick (the
         degradation router's per-input selection). ``category`` (a prompt
         template key) applies the trained conditioned polish after SR —
-        the prompt-steering path (models/conditioning.py); None skips it."""
+        the prompt-steering path (models/conditioning.py); None skips it.
+        ``provider="shrink"`` serves ``bicubic + alpha * (net - bicubic)``
+        — the probe-fitted residual shrinkage (routing.probe_sr_alpha) for
+        inputs where the net alone measures at or below bicubic."""
         if provider == "bicubic":
             return self._conditioned(resize_bicubic_up(tiles, scale), category)
+        if provider == "shrink":
+            net_out = self.upscale_tiles(
+                tiles, scale, provider="quality", steps=steps, model=model,
+                category=None,
+            )
+            bic = resize_bicubic_up(tiles, scale)
+            out = bic + jnp.float32(alpha) * (net_out - bic)
+            return self._conditioned(jnp.clip(out, 0, 255), category)
         if provider == "zssr" and ("zssr", scale) in self._apply_fns:
             # zssr params are trained (on the input itself) — no IBP.
             out = self._apply_fns[("zssr", scale)](tiles)

@@ -79,11 +79,17 @@ class PipelineConfig:
     # sr_gain_route ladder — the per-image guard for self-similar textures
     # (wood-family panel crops) where every clean net loses to bicubic.
     sr_gain_floor: float = 0.0
-    # Where probe-negative inputs go: "bicubic" (never hallucinate; the
-    # safe floor) or "zssr" (fine-tune the prior on the input's own
-    # statistics first — self-similar textures are zssr's home turf;
-    # costs zssr_steps of per-image training).
-    sr_gain_route: str = "bicubic"
+    # Where probe-negative inputs go: "shrink" (serve bicubic +
+    # alpha*(net - bicubic) with alpha fitted per image on the probe
+    # crops — PSNR-optimal between the two ladders, keeps the correlated
+    # fraction of the net's detail; routing.probe_sr_alpha), "bicubic"
+    # (never hallucinate; the hard floor, alpha=0), or "zssr" (fine-tune
+    # the prior on the input's own statistics first; costs zssr_steps of
+    # per-image training). Default "shrink": the held-out routed panel
+    # measures it >= the bicubic route on every image and strictly better
+    # on the probe-negative one (wood +0.107 dB vs +0.0, alpha 0.483 —
+    # EVAL.json pipeline_x2.routed_panel_shrink, .r5/log/routed_panel.log).
+    sr_gain_route: str = "shrink"
     # Per-scale family selection (models/selection.py): each ladder step
     # serves the panel-best packaged net at that scale (x2 -> edsr_l,
     # x3/x4 -> edsr_xl on the round-4 panel); quality_model is the
@@ -324,12 +330,21 @@ class SuperResolutionPipeline:
                     if nm == "bicubic":
                         continue
                     role = ("quality" if provider_name in (
-                        "quality", "seedream", "hybrid", "zssr", "fusion")
+                        "quality", "seedream", "hybrid", "zssr", "fusion",
+                        "shrink")
                         else "fast")
                     self.sr_module._net(
                         role, int(s),
                         model=nm.rstrip("+") if nm else model,
                     )
+        # Probe-fitted residual shrinkage: the per-image alpha is baked as
+        # a compile-time constant into the ladder program, so every jit
+        # memo key below must include it (rounded to 3 decimals at probe
+        # time — ~1000 distinct programs worst-case, in practice a handful).
+        shrink_alpha = (
+            float(getattr(self, "_shrink_alpha", 1.0))
+            if provider_name == "shrink" else 1.0
+        )
         if self.dispatcher is not None and provider_name != "bicubic":
             provider = provider_name
             steps = self.config.ibp_steps
@@ -343,6 +358,7 @@ class SuperResolutionPipeline:
                         steps=steps if last else 0,
                         model=model,
                         category=cat if last else None,
+                        alpha=shrink_alpha,
                     )
                 if not ladder:  # no net pass: conditioning still applies
                     cur = self.sr_module._conditioned(cur, cat)
@@ -350,7 +366,7 @@ class SuperResolutionPipeline:
 
             return self.dispatcher.run_tiled(
                 ladder_fn, tiles,
-                key=f"ladder{ladder}{provider}{steps}{model}{cat}"
+                key=f"ladder{ladder}{provider}{steps}{model}{cat}{shrink_alpha}"
                     f"{self._ladder_models(list(ladder), model, provider=provider_name)}",
             )
         n = int(tiles.shape[0])
@@ -377,7 +393,7 @@ class SuperResolutionPipeline:
         if (
             square
             and ladder
-            and provider_name not in ("bicubic", "zssr")
+            and provider_name not in ("bicubic", "zssr", "shrink")
             and (ens_cfg or (provider_name == "fusion" and model is None))
             and all(_step_trained(s) for s in ladder)
         ):
@@ -389,8 +405,11 @@ class SuperResolutionPipeline:
         # block (measured: XLA allocates ~2.7 GB/tile there; a 2-tile
         # program is 9% faster device-side than two 1-tile programs and
         # halves the dispatch round-trips, while a 3-tile program already
-        # kills this image's remote compile helper).
-        bytes_per_tile = final_block * final_block * 160
+        # kills this image's remote compile helper). The shrink provider
+        # carries one extra output-resolution buffer (the bicubic arm).
+        bytes_per_tile = final_block * final_block * (
+            200 if provider_name == "shrink" else 160
+        )
         chunk = max(1, min(n, int(7e9 // max(bytes_per_tile, 1))))
 
         def ladder_chunk(cur):
@@ -400,6 +419,7 @@ class SuperResolutionPipeline:
                     cur, s, provider=provider_name,
                     steps=self.config.ibp_steps if last else 0, model=model,
                     category=cat if last else None,
+                    alpha=shrink_alpha,
                 )
             if not ladder:  # no net pass: conditioning still applies
                 cur = self.sr_module._conditioned(cur, cat)
@@ -415,7 +435,8 @@ class SuperResolutionPipeline:
         # per-image fine-tuned params change every job and must stay in
         # the per-step (params-as-arguments) path.
         if provider_name != "zssr":
-            key = (tuple(ladder), provider_name, self.config.ibp_steps, model, cat)
+            key = (tuple(ladder), provider_name, self.config.ibp_steps, model,
+                   cat, shrink_alpha)
             fn = self._ladder_jits.get(key)
             if fn is None:
                 fn = jax.jit(ladder_chunk)
@@ -708,12 +729,15 @@ class SuperResolutionPipeline:
             return None
         import hashlib as _hashlib
 
+        prov = provider or self.config.provider
         sig = (
-            f"{image_hash}:{provider or self.config.provider}:{ladder}:{self.config.ibp_steps}"
+            f"{image_hash}:{prov}:{ladder}:{self.config.ibp_steps}"
             f":{layout.block}:{layout.overlap}:{self.config.zssr_steps}"
             f":{self.config.seedream_steps}:{model or self.config.quality_model}"
             f":{category if category is not None else self.config.prompt_category}"
             f":{step_models if step_models is not None else self._ladder_models(ladder, model)}"
+            # the per-image shrinkage coefficient changes the pixels
+            f":{getattr(self, '_shrink_alpha', None) if prov == 'shrink' else ''}"
         )
         return "sr-" + _hashlib.md5(sig.encode()).hexdigest()
 
@@ -917,17 +941,34 @@ class SuperResolutionPipeline:
                                              "fusion")
             ):
                 try:
-                    from .models.routing import probe_sr_gain
+                    from .models import routing as _routing
 
                     probe_model = self._ladder_models([int(ladder[0])])[0]
-                    sr_gain = probe_sr_gain(image, probe_model, int(ladder[0]))
+                    shrink_alpha: Optional[float] = None
+                    if self.config.sr_gain_route == "shrink":
+                        res = _routing.probe_sr_alpha(
+                            image, probe_model, int(ladder[0])
+                        )
+                        if res is not None:
+                            sr_gain, shrink_alpha = res
+                    else:
+                        sr_gain = _routing.probe_sr_gain(
+                            image, probe_model, int(ladder[0])
+                        )
                     if sr_gain is not None and sr_gain < self.config.sr_gain_floor:
                         routed_provider = self.config.sr_gain_route
+                        if routed_provider == "shrink":
+                            self._shrink_alpha = round(
+                                float(shrink_alpha
+                                      if shrink_alpha is not None else 0.0), 3
+                            )
                         logger.info(
                             "SR-gain probe: %s x%d measures %+.2f dB vs "
-                            "bicubic on this input -> %s ladder",
+                            "bicubic on this input -> %s ladder%s",
                             probe_model, int(ladder[0]), sr_gain,
                             routed_provider,
+                            (" (alpha %.3f)" % self._shrink_alpha)
+                            if routed_provider == "shrink" else "",
                         )
                 except Exception:  # noqa: BLE001 - the probe is best-effort
                     routed_provider = None
@@ -1029,7 +1070,8 @@ class SuperResolutionPipeline:
             # ran in stage 2 after routing/degradation/resume.
             prov_used = _prov or routed_provider or self.config.provider
             step_models: Optional[List[str]] = None
-            if prov_used in ("quality", "seedream", "hybrid", "zssr", "fusion"):
+            if prov_used in ("quality", "seedream", "hybrid", "zssr", "fusion",
+                             "shrink"):
                 step_models = self._ladder_models(
                     list(ladder), routed_model, provider=prov_used
                 )
@@ -1082,6 +1124,12 @@ class SuperResolutionPipeline:
                 "sr_seconds": stage_times["super_resolution"],
                 # per-image internal validation result (None = not probed)
                 "sr_gain_probe": sr_gain,
+                # residual-shrinkage coefficient actually served (None
+                # unless the probe routed this job to the shrink ladder)
+                "sr_gain_alpha": (
+                    getattr(self, "_shrink_alpha", None)
+                    if prov_used == "shrink" else None
+                ),
                 # retry/degradation trail: >1 attempts or >0 degradations
                 # means this run does NOT measure the configured provider
                 "sr_attempts": getattr(self, "_sr_attempts", 1),

@@ -116,6 +116,93 @@ def test_sr_gain_probe_orders_content():
     assert probe_sr_gain(lr[:64, :64], "edsr_l", 2) is None
 
 
+def test_probe_sr_alpha_bounds_and_order():
+    """probe_sr_alpha returns the probe gain PLUS the pooled least-squares
+    shrinkage coefficient: ~1 where the net's residual is real detail
+    (photo content), small where the residual is hallucination (pure
+    noise has no cross-scale structure — the net's added high frequencies
+    are uncorrelated with the truth)."""
+    from srs_tpu.models.registry import is_pretrained
+    from srs_tpu.models.routing import probe_sr_alpha, probe_sr_gain
+
+    if not is_pretrained("edsr_l", 2):
+        pytest.skip("no packaged edsr_l x2 checkpoint")
+    lr = _clean_lr(720, 192)
+    res = probe_sr_alpha(lr, "edsr_l", 2)
+    assert res is not None
+    g_photo, a_photo = res
+    # the gain component must agree with probe_sr_gain (shared dispatch)
+    assert g_photo == pytest.approx(probe_sr_gain(lr, "edsr_l", 2))
+    rng = np.random.default_rng(9)
+    noise = (rng.random((192, 192, 3)) * 255).astype(np.float32)
+    g_noise, a_noise = probe_sr_alpha(noise, "edsr_l", 2)
+    assert 0.0 <= a_noise <= 1.0 and 0.0 <= a_photo <= 1.0
+    assert a_photo > a_noise, (a_photo, a_noise)
+    assert a_photo > 0.6, a_photo
+    # too-small input: declines like the gain probe
+    assert probe_sr_alpha(lr[:64, :64], "edsr_l", 2) is None
+
+
+def test_pipeline_probe_routes_to_shrink(tmp_path, monkeypatch):
+    """sr_gain_route="shrink": a probe-negative input serves the
+    residual-shrinkage ladder bicubic + alpha*(net - bicubic), records
+    the alpha, and the pixels interpolate the two pure ladders."""
+    import srs_tpu.models.routing as routing
+    from srs_tpu.io.image import load_image
+    from srs_tpu.pipeline import PipelineConfig, SuperResolutionPipeline
+
+    lr = _clean_lr(713, 64)
+    alpha = 0.4
+
+    def run(route, probe_ret, out_name):
+        cfg = PipelineConfig(block_size=64, target_resolution="128x128",
+                             provider="quality", enable_qa=False,
+                             sr_gain_route=route)
+        if route == "shrink":
+            monkeypatch.setattr(routing, "probe_sr_alpha",
+                                lambda *a, **k: probe_ret)
+        else:
+            monkeypatch.setattr(routing, "probe_sr_gain",
+                                lambda *a, **k: probe_ret)
+        pipe = SuperResolutionPipeline(cfg)
+        out = str(tmp_path / out_name)
+        r = pipe.process(lr, out)
+        assert r.success
+        return pipe.last_run_info, load_image(out)
+
+    info, shrunk = run("shrink", (-0.5, alpha), "shrink.png")
+    assert info["provider"] == "shrink"
+    assert info["sr_gain_probe"] == -0.5
+    assert info["sr_gain_alpha"] == pytest.approx(alpha)
+    info_b, bic = run("bicubic", -0.5, "bic.png")
+    assert info_b["provider"] == "bicubic" and info_b["sr_gain_alpha"] is None
+    info_q, net = run("bicubic", 1.5, "net.png")
+    assert info_q["provider"] == "quality"
+    expect = bic.astype(np.float64) + alpha * (net.astype(np.float64)
+                                               - bic.astype(np.float64))
+    # two independent quantize-to-uint8 roundings allow ~1.5 levels
+    assert np.max(np.abs(shrunk.astype(np.float64) - expect)) <= 2.0
+    # a probe-positive input under the shrink route serves the net as-is
+    monkeypatch.setattr(routing, "probe_sr_alpha", lambda *a, **k: (1.5, 0.97))
+    cfg = PipelineConfig(block_size=64, target_resolution="128x128",
+                         provider="quality", enable_qa=False,
+                         sr_gain_route="shrink")
+    pipe = SuperResolutionPipeline(cfg)
+    r = pipe.process(lr, str(tmp_path / "pos.png"))
+    assert r.success
+    assert pipe.last_run_info["provider"] == "quality"
+    assert pipe.last_run_info["sr_gain_alpha"] is None
+
+
+def test_default_sr_gain_route_is_shrink():
+    """The routed-panel acceptance (EVAL pipeline_x2.routed_panel_shrink:
+    shrink mean +1.35 >= bicubic route +1.32, min +0.107 > 0.0) flipped
+    the default; this pins the accepted configuration."""
+    from srs_tpu.pipeline import PipelineConfig
+
+    assert PipelineConfig().sr_gain_route == "shrink"
+
+
 def test_pipeline_probe_routes_to_bicubic(tmp_path, monkeypatch):
     """When the SR-gain probe measures the net below the floor, the whole
     job serves the bicubic ladder and records why (VERDICT r4 #7)."""
@@ -124,7 +211,8 @@ def test_pipeline_probe_routes_to_bicubic(tmp_path, monkeypatch):
 
     lr = _clean_lr(711, 64)
     cfg = PipelineConfig(block_size=64, target_resolution="128x128",
-                         provider="quality", enable_qa=False)
+                         provider="quality", enable_qa=False,
+                         sr_gain_route="bicubic")
     monkeypatch.setattr(routing, "probe_sr_gain",
                         lambda *a, **k: -0.5)
     pipe = SuperResolutionPipeline(cfg)
