@@ -37,6 +37,10 @@ CONFIGS = [
     ("edsr_xl", 4, 40000),
     ("edsr_l_robust", 2, 40000, "robust"),
     ("edsr_l_robust", 3, 40000, "robust"),
+    # texture tier: fine-tune FROM the packaged edsr_l on the "tex" mix —
+    # run with --mix tex --init-from <dir holding edsr_l_tex_x2 seeded
+    # from edsr_l_x2> (scripts/round5e_fleet.sh stages the seed copy)
+    ("edsr_l_tex", 2, 25000),
 ]
 
 CORPUS_N = 3072

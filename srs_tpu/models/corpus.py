@@ -417,12 +417,28 @@ def render_photo(seed: int, size: int = 256) -> np.ndarray:
 # against carries compression statistics the net must reproduce, and the
 # LR it receives is a downsample OF that compressed signal — a clean-HR
 # corpus mismatches both ends of the pair.
-CORPUS_MIXES = ("proc", "v3", "v4", "photo", "p70")
+CORPUS_MIXES = ("proc", "v3", "v4", "photo", "p70", "tex")
 
 
 def render_any(seed: int, size: int = 256, mix: str = "proc") -> np.ndarray:
     """One deterministic corpus image under a family mix."""
     if mix == "proc":
+        return render_image(seed, size)
+    if mix == "tex":
+        # Texture-tier fine-tune mix (round 5, VERDICT r4 #7): 90%
+        # photographed stationary material captures (photo_data
+        # TEXTURE_SOURCES — never the held-out wood family) + 10% clean
+        # procedural replay to keep edge/glyph behavior from drifting.
+        # No JPEG round-trip: the texture captures (and the held-out wood
+        # panel) are PNG camera data, and the failure being fixed is
+        # hallucinated high frequencies, not compression statistics.
+        rng = np.random.default_rng(seed ^ 0x5F375A86)
+        if rng.random() < 0.90:
+            from .photo_data import texture_mosaic
+
+            img = texture_mosaic(seed, size)
+            if img is not None:
+                return img
         return render_image(seed, size)
     if mix not in ("v3", "v4", "photo", "p70"):
         raise ValueError(f"unknown corpus mix {mix!r}; known: {CORPUS_MIXES}")

@@ -31,6 +31,7 @@ import numpy as np
 
 __all__ = [
     "photo_paths", "load_photos", "photo_mosaic",
+    "texture_paths", "load_textures", "texture_mosaic",
     "eval_photo_paths", "load_eval_photos",
 ]
 
@@ -48,6 +49,36 @@ PHOTO_SOURCES: List[Tuple[str, str]] = [
     # Stationary textures carry the natural high-frequency statistics the
     # scene photos above are short on (sensor grain, organic micro-
     # contrast), which is exactly what the SR nets must hallucinate.
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/white_marble_tile.png"),
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/white_marble_tile2.png"),
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/tile1.png"),
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/marble1.png"),
+    ("gymnasium_robotics",
+     "envs/assets/kitchen_franka/kitchen_assets/textures/metal1.png"),
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/skin.png"),
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/marble.png"),
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/foil.png"),
+    ("gymnasium_robotics",
+     "envs/assets/adroit_hand/resources/textures/silverRaw.png"),
+    ("dm_control",
+     "locomotion/arenas/assets/outdoor_natural/OutdoorGrassFloorD.png"),
+]
+
+# Texture-family subset of the TRAINING pool (round 5): the photographed
+# stationary material captures. Self-similar micro-texture is the one
+# distribution where every clean net measures at or below bicubic on the
+# held-out panel (wood family, VERDICT r4 #7) — the generic mixes are
+# dominated by scene structure, so the nets under-train on "reproduce
+# stationary grain without inventing it". The "tex" corpus mix draws its
+# mosaics from THIS list only (never the held-out wood captures).
+TEXTURE_SOURCES: List[Tuple[str, str]] = [
     ("gymnasium_robotics",
      "envs/assets/kitchen_franka/kitchen_assets/textures/white_marble_tile.png"),
     ("gymnasium_robotics",
@@ -162,6 +193,55 @@ def _rand_crop(rng: np.random.Generator, img: np.ndarray, size: int) -> Optional
     if rng.random() < 0.5:
         crop = np.swapaxes(crop, 0, 1)
     return np.ascontiguousarray(crop, np.float32)
+
+
+def texture_paths() -> List[str]:
+    """Texture-family TRAINING paths that exist in this install (a subset
+    of ``photo_paths()``; never the held-out wood captures)."""
+    return _resolve(TEXTURE_SOURCES)
+
+
+_TEX_CACHE: Optional[List[np.ndarray]] = None
+
+
+def load_textures() -> List[np.ndarray]:
+    """Decoded texture captures as float32 RGB [0,255], cached."""
+    global _TEX_CACHE
+    if _TEX_CACHE is None:
+        from PIL import Image
+
+        _TEX_CACHE = [
+            np.asarray(Image.open(p).convert("RGB"), np.float32)
+            for p in texture_paths()
+        ]
+    return _TEX_CACHE
+
+
+def texture_mosaic(seed: int, size: int = 256) -> Optional[np.ndarray]:
+    """One deterministic ``size``-square HR image of stationary material
+    texture (the "tex" corpus mix's photo arm). Whole crops dominate —
+    a texture's training value IS its stationarity, so 2x2 mosaics (which
+    introduce artificial seam edges) are used only when no source is
+    large enough for a full crop."""
+    textures = load_textures()
+    if not textures:
+        return None
+    rng = np.random.default_rng(seed)
+    big = [t for t in textures if min(t.shape[:2]) >= size]
+    if big:
+        crop = _rand_crop(rng, big[int(rng.integers(len(big)))], size)
+        if crop is not None:
+            return crop
+    half = size // 2
+    usable = [t for t in textures if min(t.shape[:2]) >= half]
+    if not usable:
+        return None
+    out = np.empty((size, size, 3), np.float32)
+    for qy in (0, half):
+        for qx in (0, half):
+            src = usable[int(rng.integers(len(usable)))]
+            out[qy : qy + half, qx : qx + half] = _rand_crop(rng, src, half)
+    return out
 
 
 def photo_mosaic(seed: int, size: int = 256) -> Optional[np.ndarray]:

@@ -61,6 +61,13 @@ MODEL_REGISTRY: Dict[str, ModelSpec] = {
         "degradation-robust large quality net (random blur/noise training "
         "ladder; for noisy/soft/compressed inputs)",
     ),
+    "edsr_l_tex": ModelSpec(
+        "edsr_l_tex", EDSR, {"num_blocks": 16, "features": 96},
+        "texture-tier large net (edsr_l fine-tuned on the 'tex' corpus "
+        "mix of photographed stationary materials); served only when the "
+        "per-image SR-gain probe measures it best (models/routing."
+        "best_shrink_candidate) — never a static default",
+    ),
 }
 
 # (name, scale, pretrained, checkpoint_dir, dtype) -> (module, params)

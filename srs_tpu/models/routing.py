@@ -22,7 +22,8 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = ["DegradationEstimate", "estimate_degradation",
-           "route_quality_model", "probe_sr_gain", "probe_sr_alpha"]
+           "route_quality_model", "probe_sr_gain", "probe_sr_alpha",
+           "best_shrink_candidate"]
 
 # Calibrated on the v3 corpus + bundled photos (see tests/test_routing.py):
 # clean area-downsampled inputs measure noise_sigma <= ~1.5 (the held-out
@@ -166,6 +167,47 @@ def probe_sr_alpha(
     return gain, alpha
 
 
+def best_shrink_candidate(
+    image: np.ndarray,
+    models: tuple[str, ...] | list[str],
+    scale: int = 2,
+    checkpoint_dir: str | None = None,
+    crop: int = 192,
+) -> tuple[str, float, float, float] | None:
+    """Pick the net whose alpha-shrunk ladder predicts the best PSNR on
+    THIS input's internal statistics.
+
+    For each packaged candidate, run the 5-crop self-reconstruction probe
+    and evaluate the pooled-alpha shrunk output's per-crop MSE in closed
+    form — ``m_bic - 2*alpha*num + alpha^2*den`` (num/den are per-pixel
+    means, so no extra dispatch: the shrunk ladder is scored without ever
+    rendering it). Returns ``(model, raw_gain_db, alpha, shrunk_gain_db)``
+    for the candidate with the highest predicted median shrunk gain, or
+    None when no candidate can be probed.
+
+    This is how the texture tier (edsr_l_tex) serves: a probe-negative
+    input compares the clean net's shrinkage against the texture net's
+    on its own pixels and takes the winner — a weak candidate can never
+    regress a job, because losing the in-sample probe removes it.
+    (Reference analog: hybrid provider staging picks engines per pass,
+    super_resolution_module.py:842-1009 — hardcoded there, measured here.)
+    """
+    best = None
+    for name in models:
+        stats = _probe_stats(image, name, scale, checkpoint_dir, crop)
+        if stats is None:
+            continue
+        m_net, m_bic, num, den = stats
+        raw_gain = float(np.median(10.0 * np.log10(m_bic / m_net)))
+        alpha = float(np.clip(num.sum() / max(den.sum(), 1e-9), 0.0, 1.0))
+        m_shr = np.maximum(m_bic - 2.0 * alpha * num + alpha * alpha * den,
+                           1e-12)
+        shrunk_gain = float(np.median(10.0 * np.log10(m_bic / m_shr)))
+        if best is None or shrunk_gain > best[3]:
+            best = (name, raw_gain, alpha, shrunk_gain)
+    return best
+
+
 def _probe_stats(
     image: np.ndarray,
     model_name: str,
@@ -173,8 +215,9 @@ def _probe_stats(
     checkpoint_dir: str | None,
     crop: int,
 ):
-    """Shared probe dispatch: per-crop (mse_net, mse_bic, <y-b,n-b>,
-    ||n-b||^2) as float64 numpy arrays, or None when the probe declines."""
+    """Shared probe dispatch: per-crop (mse_net, mse_bic, mean((y-b)(n-b)),
+    mean((n-b)^2)) as float64 numpy arrays (y = crop truth, b = bicubic,
+    n = net; per-pixel means), or None when the probe declines."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -218,8 +261,12 @@ def _probe_stats(
             m_net = jnp.mean((net - hr_b) ** 2, axis=(1, 2, 3))
             m_bic = jnp.mean((bic - hr_b) ** 2, axis=(1, 2, 3))
             d = net - bic
-            num = jnp.sum((hr_b - bic) * d, axis=(1, 2, 3))
-            den = jnp.sum(d * d, axis=(1, 2, 3))
+            # per-pixel means (not sums): alpha = num/den is unchanged,
+            # and m_bic - 2a*num + a^2*den is directly the per-crop MSE
+            # of the alpha-shrunk output (best_shrink_candidate ranks on
+            # it without needing the crop pixel count)
+            num = jnp.mean((hr_b - bic) * d, axis=(1, 2, 3))
+            den = jnp.mean(d * d, axis=(1, 2, 3))
             return m_net, m_bic, num, den
 
         _PROBE_FNS[key] = probe_stats

@@ -90,6 +90,14 @@ class PipelineConfig:
     # on the probe-negative one (wood +0.107 dB vs +0.0, alpha 0.483 —
     # EVAL.json pipeline_x2.routed_panel_shrink, .r5/log/routed_panel.log).
     sr_gain_route: str = "shrink"
+    # Texture-tier candidates the shrink route may serve instead of the
+    # configured net: when the probe measures the clean net below the
+    # floor, every packaged candidate here is probed too and the job
+    # serves whichever net's alpha-shrunk ladder predicts the best PSNR
+    # on the input's own crops (routing.best_shrink_candidate). A weak
+    # or missing candidate can never regress a job — it simply loses
+    # (or skips) the in-sample probe.
+    texture_models: Tuple[str, ...] = ("edsr_l_tex",)
     # Per-scale family selection (models/selection.py): each ladder step
     # serves the panel-best packaged net at that scale (x2 -> edsr_l,
     # x3/x4 -> edsr_xl on the round-4 panel); quality_model is the
@@ -962,13 +970,37 @@ class SuperResolutionPipeline:
                                 float(shrink_alpha
                                       if shrink_alpha is not None else 0.0), 3
                             )
+                            # texture tier: probe the candidates and serve
+                            # whichever net's shrunk ladder predicts best
+                            # on this input (no-op when none is packaged)
+                            from .models.registry import is_pretrained
+
+                            # a candidate must be trained at EVERY ladder
+                            # scale: routed_model pins all steps to it
+                            cands = tuple(
+                                c for c in getattr(
+                                    self.config, "texture_models", ())
+                                if all(is_pretrained(c, int(s))
+                                       for s in set(ladder))
+                            )
+                            if cands:
+                                best = _routing.best_shrink_candidate(
+                                    image, (probe_model,) + cands,
+                                    int(ladder[0]),
+                                )
+                                if best is not None and best[0] != probe_model:
+                                    routed_model = best[0]
+                                    self._shrink_alpha = round(best[2], 3)
                         logger.info(
                             "SR-gain probe: %s x%d measures %+.2f dB vs "
-                            "bicubic on this input -> %s ladder%s",
+                            "bicubic on this input -> %s ladder%s%s",
                             probe_model, int(ladder[0]), sr_gain,
                             routed_provider,
                             (" (alpha %.3f)" % self._shrink_alpha)
                             if routed_provider == "shrink" else "",
+                            (" serving %s" % routed_model)
+                            if routed_provider == "shrink" and routed_model
+                            else "",
                         )
                 except Exception:  # noqa: BLE001 - the probe is best-effort
                     routed_provider = None

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 
-@pytest.mark.parametrize("mix", ["proc", "v3", "v4", "photo", "p70"])
+@pytest.mark.parametrize("mix", ["proc", "v3", "v4", "photo", "p70", "tex"])
 def test_mix_deterministic_and_bounded(mix):
     from srs_tpu.models.corpus import make_corpus
 
@@ -44,6 +44,29 @@ def test_p70_replay_arm_is_clean_procedural():
             )
             replayed += 1
     assert replayed >= 3
+
+
+def test_tex_mix_stays_inside_texture_sources():
+    """The tex mix's photo arm must draw ONLY from TEXTURE_SOURCES (never
+    the held-out wood captures — tests/test_photo_holdout.py guards the
+    source lists; here we pin the mosaic's provenance) and its replay arm
+    must be the clean procedural distribution."""
+    from srs_tpu.models.corpus import render_any, render_image
+    from srs_tpu.models.photo_data import texture_mosaic, texture_paths
+
+    if not texture_paths():
+        pytest.skip("no texture sources installed")
+    mosaics = replays = 0
+    for seed in range(16):
+        img = render_any(seed, 96, mix="tex")
+        rng = np.random.default_rng(seed ^ 0x5F375A86)
+        if rng.random() < 0.90:
+            np.testing.assert_array_equal(img, texture_mosaic(seed, 96))
+            mosaics += 1
+        else:
+            np.testing.assert_array_equal(img, render_image(seed, 96))
+            replays += 1
+    assert mosaics >= 10
 
 
 def test_v4_jpeg_roundtrip_alters_some_images():

@@ -64,6 +64,13 @@ def test_eval_holdout_sources_disjoint_from_training_pool():
     for frag in ("flower.jpg", "wood1.png", "darkwood.png"):
         assert all(frag not in p for p in train), f"{frag} in training pool"
         assert any(frag in p for p in evalp), f"{frag} missing from eval panel"
+    # round 5: the texture-tier accessor is a SUBSET of the training pool
+    # (so the holdout guarantee above covers the tex corpus mix too)
+    from srs_tpu.models.photo_data import texture_paths
+
+    tex = set(texture_paths())
+    assert tex <= train, f"texture sources outside the training pool: {tex - train}"
+    assert not (tex & evalp)
 
 
 def test_eval_panel_loads_four_common_shape_images():

@@ -194,6 +194,70 @@ def test_pipeline_probe_routes_to_shrink(tmp_path, monkeypatch):
     assert pipe.last_run_info["sr_gain_alpha"] is None
 
 
+def test_best_shrink_candidate_picks_predicted_winner(monkeypatch):
+    """best_shrink_candidate ranks candidates by the CLOSED-FORM shrunk
+    MSE (m_bic - 2*alpha*num + alpha^2*den) and skips unprobeable ones."""
+    import srs_tpu.models.routing as routing
+
+    stats = {
+        # net A: raw gain negative, weak correlation -> small alpha,
+        # modest shrunk gain
+        "net_a": (np.full(5, 4.0), np.full(5, 3.0),
+                  np.full(5, 0.5), np.full(5, 2.0)),
+        # net B: stronger correlated residual -> better shrunk MSE
+        "net_b": (np.full(5, 4.0), np.full(5, 3.0),
+                  np.full(5, 1.5), np.full(5, 2.0)),
+        "net_c": None,  # not packaged: skipped
+    }
+    monkeypatch.setattr(
+        routing, "_probe_stats",
+        lambda img, name, scale, ckdir, crop: stats[name],
+    )
+    img = np.zeros((256, 256, 3), np.float32)
+    best = routing.best_shrink_candidate(
+        img, ("net_a", "net_c", "net_b"), 2)
+    name, raw_gain, alpha, shrunk_gain = best
+    assert name == "net_b"
+    assert alpha == pytest.approx(0.75)  # 1.5/2.0
+    # shrunk mse = 3 - 2*.75*1.5 + .5625*2 = 1.875
+    assert shrunk_gain == pytest.approx(10 * np.log10(3.0 / 1.875))
+    assert raw_gain == pytest.approx(10 * np.log10(3.0 / 4.0))
+    # nothing probeable -> None
+    monkeypatch.setattr(routing, "_probe_stats",
+                        lambda *a: None)
+    assert routing.best_shrink_candidate(img, ("net_a",), 2) is None
+
+
+def test_pipeline_shrink_serves_texture_candidate(tmp_path, monkeypatch):
+    """When a texture-tier candidate wins the in-sample probe, the shrink
+    route pins the ladder to it (routed model + its alpha recorded)."""
+    import srs_tpu.models.routing as routing
+    from srs_tpu.models.registry import is_pretrained
+    from srs_tpu.pipeline import PipelineConfig, SuperResolutionPipeline
+
+    if not is_pretrained("edsr_m", 2):
+        pytest.skip("needs a second packaged x2 net")
+    lr = _clean_lr(715, 64)
+    monkeypatch.setattr(routing, "probe_sr_alpha",
+                        lambda *a, **k: (-0.5, 0.3))
+    monkeypatch.setattr(
+        routing, "best_shrink_candidate",
+        lambda img, models, scale, **k: ("edsr_m", -0.2, 0.61, 0.4),
+    )
+    cfg = PipelineConfig(block_size=64, target_resolution="128x128",
+                         provider="quality", enable_qa=False,
+                         sr_gain_route="shrink",
+                         texture_models=("edsr_m",))
+    pipe = SuperResolutionPipeline(cfg)
+    r = pipe.process(lr, str(tmp_path / "tex.png"))
+    assert r.success
+    info = pipe.last_run_info
+    assert info["provider"] == "shrink"
+    assert info["model"] == "edsr_m"
+    assert info["models"] == ["edsr_m"]
+    assert info["sr_gain_alpha"] == pytest.approx(0.61)
+
+
 def test_default_sr_gain_route_is_shrink():
     """The routed-panel acceptance (EVAL pipeline_x2.routed_panel_shrink:
     shrink mean +1.35 >= bicubic route +1.32, min +0.107 > 0.0) flipped
