@@ -178,17 +178,24 @@ def best_shrink_candidate(
     THIS input's internal statistics.
 
     For each packaged candidate, run the 5-crop self-reconstruction probe
-    and evaluate the pooled-alpha shrunk output's per-crop MSE in closed
-    form — ``m_bic - 2*alpha*num + alpha^2*den`` (num/den are per-pixel
-    means, so no extra dispatch: the shrunk ladder is scored without ever
-    rendering it). Returns ``(model, raw_gain_db, alpha, shrunk_gain_db)``
-    for the candidate with the highest predicted median shrunk gain, or
-    None when no candidate can be probed.
+    and evaluate the alpha-shrunk output's per-crop MSE in closed form —
+    ``m_bic - 2*alpha*num + alpha^2*den`` (num/den are per-pixel means,
+    so no extra dispatch: the shrunk ladder is scored without ever
+    rendering it). Selection is LEAVE-ONE-OUT: each crop is scored with
+    the alpha fitted on the other four. Scoring a crop with an alpha fit
+    on that same crop is optimistic in exactly the way that matters here
+    — choosing among candidates amplifies in-sample luck, and the first
+    tex-tier measurement showed it (the in-sample pick served +0.018 dB
+    on the held-out wood image where the incumbent's shrinkage served
+    +0.107). Returns ``(model, raw_gain_db, alpha, loo_gain_db)`` for the
+    candidate with the highest median LOO shrunk gain — alpha itself is
+    still the all-crop fit (best for serving; LOO is only the selection
+    score) — or None when no candidate can be probed.
 
     This is how the texture tier (edsr_l_tex) serves: a probe-negative
     input compares the clean net's shrinkage against the texture net's
     on its own pixels and takes the winner — a weak candidate can never
-    regress a job, because losing the in-sample probe removes it.
+    regress a job, because losing the out-of-sample probe removes it.
     (Reference analog: hybrid provider staging picks engines per pass,
     super_resolution_module.py:842-1009 — hardcoded there, measured here.)
     """
@@ -200,11 +207,13 @@ def best_shrink_candidate(
         m_net, m_bic, num, den = stats
         raw_gain = float(np.median(10.0 * np.log10(m_bic / m_net)))
         alpha = float(np.clip(num.sum() / max(den.sum(), 1e-9), 0.0, 1.0))
-        m_shr = np.maximum(m_bic - 2.0 * alpha * num + alpha * alpha * den,
+        a_loo = np.clip((num.sum() - num) / np.maximum(den.sum() - den, 1e-9),
+                        0.0, 1.0)
+        m_loo = np.maximum(m_bic - 2.0 * a_loo * num + a_loo * a_loo * den,
                            1e-12)
-        shrunk_gain = float(np.median(10.0 * np.log10(m_bic / m_shr)))
-        if best is None or shrunk_gain > best[3]:
-            best = (name, raw_gain, alpha, shrunk_gain)
+        loo_gain = float(np.median(10.0 * np.log10(m_bic / m_loo)))
+        if best is None or loo_gain > best[3]:
+            best = (name, raw_gain, alpha, loo_gain)
     return best
 
 

@@ -228,6 +228,37 @@ def test_best_shrink_candidate_picks_predicted_winner(monkeypatch):
     assert routing.best_shrink_candidate(img, ("net_a",), 2) is None
 
 
+def test_best_shrink_candidate_loo_penalizes_in_sample_luck(monkeypatch):
+    """Selection scores are leave-one-out: a candidate whose correlation
+    flips sign across crops (in-sample alpha looks fine pooled, but each
+    held-out crop is hurt by the alpha the OTHER crops fit) must lose to
+    a consistent candidate that pooled in-sample scoring would rank as a
+    tie or worse."""
+    import srs_tpu.models.routing as routing
+
+    stats = {
+        # consistent: every crop agrees (num/den identical) -> LOO == pooled
+        "steady": (np.full(5, 4.0), np.full(5, 3.0),
+                   np.full(5, 0.8), np.full(5, 2.0)),
+        # erratic: num alternates sign with large magnitude; pooled num
+        # sums to 0.9 (alpha ~0.09 looks harmless in-sample) but each
+        # LOO alpha is fit against the crop's own sign
+        "erratic": (np.full(5, 4.0), np.full(5, 3.0),
+                    np.array([3.0, -2.5, 3.0, -2.6, 0.0]), np.full(5, 2.0)),
+    }
+    monkeypatch.setattr(
+        routing, "_probe_stats",
+        lambda img, name, scale, ckdir, crop: stats[name],
+    )
+    img = np.zeros((256, 256, 3), np.float32)
+    name, _raw, alpha, loo = routing.best_shrink_candidate(
+        img, ("erratic", "steady"), 2)
+    assert name == "steady"
+    assert alpha == pytest.approx(0.4)  # 0.8/2.0, all-crop serving fit
+    # steady: m_loo = 3 - 2*.4*.8 + .16*2 = 2.68
+    assert loo == pytest.approx(10 * np.log10(3.0 / 2.68))
+
+
 def test_pipeline_shrink_serves_texture_candidate(tmp_path, monkeypatch):
     """When a texture-tier candidate wins the in-sample probe, the shrink
     route pins the ladder to it (routed model + its alpha recorded)."""
