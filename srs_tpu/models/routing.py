@@ -97,9 +97,28 @@ def estimate_degradation(
     return DegradationEstimate(noise_sigma, band_ratio, False, "clean")
 
 
-# (name, scale, checkpoint_dir) -> jitted apply; a fresh lambda per probe
-# would re-trace every call
+# (name, scale, checkpoint_dir, crop) -> jitted apply; a fresh lambda per
+# probe would re-trace every call
 _PROBE_FNS: dict = {}
+
+# Descending probe-crop ladder (see probe_sr_gain docstring): the probe
+# uses the largest rung that fits the input, so compiled probe shapes
+# stay bounded at len(ladder) per (net, scale) while small inputs (x3/x4
+# ladder LR sizes) keep probe protection.
+_PROBE_CROP_LADDER = (192, 128, 96)
+
+
+def _fit_crop(h: int, w: int, scale: int, crop: int) -> int | None:
+    """Largest ladder rung <= ``crop`` (made scale-divisible) that fits an
+    h x w input; an explicit ``crop`` below the smallest rung becomes its
+    own single-rung ladder (callers that pass a small fixed crop keep the
+    one-shape guarantee). None when nothing fits."""
+    rungs = (crop,) + tuple(r for r in _PROBE_CROP_LADDER if r < crop)
+    for c in rungs:
+        c -= c % scale
+        if c > 0 and h >= c and w >= c:
+            return c
+    return None
 
 
 def probe_sr_gain(
@@ -122,10 +141,19 @@ def probe_sr_gain(
     per-crop gain in dB ("does the net lose on the majority of sampled
     regions?" — robust to one outlier region either way; on the wood
     panel image 3/5 crops are negative while a pooled mean washes the
-    signal out), or None when the image is smaller than the probe crop
-    or the net is untrained (untrained = exact bicubic, gain identically
-    0). The probe shape is FIXED so the TPU compiles it once per
-    (net, scale).
+    signal out), or None when the image is smaller than every rung of
+    the probe-crop ladder or the net is untrained (untrained = exact
+    bicubic, gain identically 0).
+
+    ``crop`` is the TOP rung: on inputs smaller than it the probe steps
+    down the fixed ladder 192 -> 128 -> 96 (round-5 panel finding: the
+    x3/x4 panel LR inputs are 140x168 / 105x126, so a fixed 192 crop
+    silently disabled routing at those scales and wood served -0.51 dB
+    unprotected at x3). Each rung is still ONE compiled shape per
+    (net, scale) — the ladder is short by design. Below 96 the probe
+    declines: five sub-96 crops on one image are mostly the same
+    pixels, and a single-region probe defeats the median-over-regions
+    robustness argument above.
     """
     stats = _probe_stats(image, model_name, scale, checkpoint_dir, crop)
     if stats is None:
@@ -237,10 +265,11 @@ def _probe_stats(
     img = np.asarray(image, np.float32)
     if img.ndim != 3 or img.shape[2] != 3:
         return None
-    crop -= crop % scale
     h, w = img.shape[:2]
-    if h < crop or w < crop:
+    fitted = _fit_crop(h, w, scale, crop)
+    if fitted is None:
         return None
+    crop = fitted
     if not is_pretrained(model_name, scale, checkpoint_dir):
         return None
     pos = [
@@ -259,7 +288,7 @@ def _probe_stats(
                    interpolation=cv2.INTER_AREA) for c in hr
     ])
 
-    key = (model_name, scale, checkpoint_dir)
+    key = (model_name, scale, checkpoint_dir, crop)
     if key not in _PROBE_FNS:
         module, params = build_model(model_name, scale, checkpoint_dir)
 

@@ -94,10 +94,17 @@ class PipelineConfig:
     # configured net: when the probe measures the clean net below the
     # floor, every packaged candidate here is probed too and the job
     # serves whichever net's alpha-shrunk ladder predicts the best PSNR
-    # on the input's own crops (routing.best_shrink_candidate). A weak
-    # or missing candidate can never regress a job — it simply loses
-    # (or skips) the in-sample probe.
-    texture_models: Tuple[str, ...] = ("edsr_l_tex",)
+    # on the input's own crops (routing.best_shrink_candidate). The
+    # probe guarantees a candidate never serves below bicubic, but it
+    # CANNOT guarantee the candidate beats the incumbent's shrinkage:
+    # the probe reconstructs one octave below serving scale, and the
+    # packaged edsr_l_tex wins that in-octave test on the held-out wood
+    # image while serving worse than edsr_l's shrinkage (+0.018 vs
+    # +0.107 dB, even under leave-one-out scoring — EVAL.json
+    # pipeline_x2.routed_panel_shrink across .r5 runs). Demoted from the
+    # default until a candidate measures a panel win; the mechanism
+    # stays for drop-in tiers.
+    texture_models: Tuple[str, ...] = ()
     # Per-scale family selection (models/selection.py): each ladder step
     # serves the panel-best packaged net at that scale (x2 -> edsr_l,
     # x3/x4 -> edsr_xl on the round-4 panel); quality_model is the

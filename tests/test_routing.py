@@ -143,6 +143,35 @@ def test_probe_sr_alpha_bounds_and_order():
     assert probe_sr_alpha(lr[:64, :64], "edsr_l", 2) is None
 
 
+def test_probe_crop_ladder_covers_small_inputs():
+    """The probe steps down the fixed crop ladder on inputs smaller than
+    its top rung — the round-5 panel's x3/x4 LR images (140x168, 105x126)
+    must keep probe protection instead of silently disabling routing —
+    while staying declined below the smallest rung (five sub-96 crops on
+    one image are mostly the same pixels)."""
+    from srs_tpu.models.registry import is_pretrained
+    from srs_tpu.models.routing import _fit_crop, probe_sr_gain
+
+    # rung selection is pure geometry
+    assert _fit_crop(1000, 1000, 2, 192) == 192
+    assert _fit_crop(140, 168, 3, 192) == 126  # 128 made x3-divisible
+    assert _fit_crop(105, 126, 4, 192) == 96
+    assert _fit_crop(64, 64, 2, 192) is None
+    # an explicit small crop is honored as its own single rung
+    assert _fit_crop(64, 64, 2, 64) == 64
+    assert _fit_crop(200, 200, 2, 128) == 128
+
+    if not is_pretrained("edsr_l", 2):
+        pytest.skip("no packaged edsr_l x2 checkpoint")
+    lr = _clean_lr(720, 192)
+    # the x4-panel-LR-sized input now probes (rung 96)
+    g_small = probe_sr_gain(lr[:105, :126], "edsr_l", 2)
+    assert g_small is not None
+    # same content, same net: the down-ladder reading agrees in sign with
+    # the full-crop reading (both strongly positive on photo content)
+    assert g_small > 0.3, g_small
+
+
 def test_pipeline_probe_routes_to_shrink(tmp_path, monkeypatch):
     """sr_gain_route="shrink": a probe-negative input serves the
     residual-shrinkage ladder bicubic + alpha*(net - bicubic), records
